@@ -1,0 +1,104 @@
+"""Item/collection grouping + extent aggregation (reference parity core).
+
+Reproduces, as single shuffle stages, what the reference does with nested
+dicts and incremental mutation:
+
+- assets -> items: ``_group_metadata_by_item_id`` + ``_split_group_by_latlon``
+  (stacbuilder/builder.py:765-793) == one ``groupBy(item_id, bbox-key)``;
+- per-item consistency asserts (builder.py:203-216) == ``countDistinct`` checks
+  carried as columns;
+- item -> collection extent (``_update_extent_from_item``,
+  builder.py:484-510) == min/min/max/max + min/max timestamp aggregates;
+- year-grouped collections + root rollup (builder.py:843-889) == ``rollup``.
+
+Scale: extent aggregation is algebraic (partial map-side combine for free).
+For *hot-key* skew (one item_id / collection with 10^9 assets), use
+``salted_extent_agg``: two-phase agg over (key, salt) then key — the classic
+salting pattern the north rule asks for explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Extent aggregate set, reused at item / tile / collection granularity.
+def _extent_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("fp_w").alias("ext_w"),
+        F.min("fp_s").alias("ext_s"),
+        F.max("fp_e").alias("ext_e"),
+        F.max("fp_n").alias("ext_n"),
+        F.min("datetime").alias("dt_min"),
+        F.max("datetime").alias("dt_max"),
+    ]
+
+
+def items_from_assets(assets: DataFrame) -> DataFrame:
+    """Group asset rows into item rows (A1 + A2 + A3).
+
+    One shuffle: groupBy(item_id). Emits per-item asset array (sorted for
+    deterministic output, the analogue of the reference's sorted links,
+    builder.py:549), extent, and the consistency checks the reference asserts
+    per group (builder.py:203-216) as ``n_*_distinct`` columns.
+    """
+    return assets.groupBy("item_id").agg(
+        *_extent_aggs(),
+        F.array_sort(F.collect_list("image_id")).alias("asset_ids"),
+        F.countDistinct("asset_type").alias("n_types"),
+        F.countDistinct("year", "month").alias("n_datetime_distinct"),
+        F.first("year").alias("year"),
+        F.first("month").alias("month"),
+    )
+
+
+def first_asset_geometry(assets: DataFrame) -> DataFrame:
+    """'First asset defines the item geometry' — the reference picks
+    ``assets[0]`` arbitrarily (builder.py:200); we make it deterministic with
+    a window: row_number over (item_id, order by image_id) == 1."""
+    w = Window.partitionBy("item_id").orderBy("image_id")
+    return (
+        assets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def collection_extents(assigned: DataFrame, keys: list[str]) -> DataFrame:
+    """Extent aggregation at any key granularity (collection, tile, ...)."""
+    return assigned.groupBy(*keys).agg(*_extent_aggs())
+
+
+def collection_rollup(assigned: DataFrame) -> DataFrame:
+    """Leaf (collection, year) extents + per-collection root + global root —
+    exactly the reference's grouped collections with a root collection whose
+    extent spans the children (builder.py:858-889), via ``rollup``."""
+    return (
+        assigned.rollup("collection_id", "year")
+        .agg(*_extent_aggs())
+        .withColumn("collection_id", F.coalesce("collection_id", F.lit("ALL")))
+        .withColumn("year", F.coalesce("year", F.lit(-1)))
+    )
+
+
+def salted_extent_agg(
+    assigned: DataFrame, key: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-phase (salted) extent aggregation for skewed keys.
+
+    Phase 1 aggregates (key, salt) — spreading a hot key over
+    ``salt_buckets`` reducers; phase 2 merges the tiny per-salt partials.
+    All extent aggregates are algebraic, so the rewrite is exact.
+    """
+    salt = F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets)).alias("_salt")
+    phase1 = assigned.withColumn("_salt", salt).groupBy(key, "_salt").agg(*_extent_aggs())
+    return phase1.groupBy(key).agg(
+        F.sum("n_assets").alias("n_assets"),
+        F.min("ext_w").alias("ext_w"),
+        F.min("ext_s").alias("ext_s"),
+        F.max("ext_e").alias("ext_e"),
+        F.max("ext_n").alias("ext_n"),
+        F.min("dt_min").alias("dt_min"),
+        F.max("dt_max").alias("dt_max"),
+    )

@@ -1,0 +1,254 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each query in ``__spark_entry__.queries()`` has a matching ANSI-SQL string
+here that DuckDB runs on the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings). The SQL
+mirrors ``synth.py``'s integer-arithmetic derivation bit-for-bit: every float
+is produced by the same IEEE ops on the same integers, so value hashes match.
+
+Convention: doubles that pass through transcendental functions are either
+excluded from outputs or rank-only; coordinates are emitted as exact
+milli/micro-degree BIGINTs via ``FLOOR(x*scale + 0.5)`` (identical doubles in
+-> identical ints out, independent of engine rounding modes).
+"""
+
+from __future__ import annotations
+
+from .synth import (
+    GRID_DLAT,
+    GRID_DLON,
+    GRID_LAT0,
+    GRID_LON0,
+    GRID_NX,
+)
+
+# --- shared CTE fragments -------------------------------------------------
+
+IMAGES_CTE = """
+images AS (
+  SELECT
+    o_orderkey AS img_key,
+    printf('img_%08d', o_orderkey) AS image_id,
+    ((o_orderkey * 2654435761) % 4294967296) AS h1,
+    ((o_orderkey * 2246822519) % 4294967296) AS h2,
+    ((o_orderkey * 2654435761) % 4294967296) * 1048576
+      + (((o_orderkey * 2246822519) % 4294967296) % 1048576) AS phash,
+    ([240,180,64,256])[CAST(o_orderkey % 4 AS INT) + 1] AS w,
+    ([180,120,64,256])[CAST(o_orderkey % 4 AS INT) + 1] AS h,
+    (['raw','png'])[CAST(o_orderkey % 2 AS INT) + 1] AS fmt,
+    (['2m-temp-monthly','tot-precip-monthly'])[CAST(o_orderkey % 2 AS INT) + 1]
+      AS asset_type,
+    'observations_' || CAST(o_orderkey // 2 AS VARCHAR) AS item_id,
+    CAST(((o_orderkey // 2) // 3) % 2 + 2000 AS INT) AS year,
+    CAST((o_orderkey // 2) % 3 + 1 AS INT) AS month,
+    make_timestamp(((o_orderkey // 2) // 3) % 2 + 2000,
+                   (o_orderkey // 2) % 3 + 1, 1, 0, 0, 0) AS datetime,
+    printf('%s observation %04d-%02d over item %d',
+           (['2m-temp-monthly','tot-precip-monthly'])[CAST(o_orderkey % 2 AS INT) + 1],
+           ((o_orderkey // 2) // 3) % 2 + 2000,
+           (o_orderkey // 2) % 3 + 1,
+           o_orderkey // 2) AS caption
+  FROM orders
+)
+"""
+
+FOOTPRINTS_CTE = """
+footprints AS (
+  SELECT *,
+    (img_key % 10 < 3) AS is_hot,
+    CASE WHEN img_key % 10 < 3
+         THEN 4.0  + (h1 % 2000) / 10000.0
+         ELSE -180.0 + (h1 % 360000) / 1000.0 END AS lon,
+    CASE WHEN img_key % 10 < 3
+         THEN 51.0 + (h2 % 2000) / 10000.0
+         ELSE -60.0 + (h2 % 120000) / 1000.0 END AS lat
+  FROM images
+),
+fp AS (
+  SELECT *,
+    lon - w * 0.000125 AS fp_w,
+    lon + w * 0.000125 AS fp_e,
+    lat - h * 0.000125 AS fp_s,
+    lat + h * 0.000125 AS fp_n
+  FROM footprints
+)
+"""
+
+BOUNDARIES_CTE = f"""
+boundaries AS (
+  SELECT
+    'E' || CAST(n_nationkey % {GRID_NX} AS VARCHAR)
+        || 'N' || CAST(n_nationkey // {GRID_NX} AS VARCHAR) AS tile_id,
+    'coll_' || CAST(n_regionkey AS VARCHAR) AS collection_id,
+    {GRID_LON0} + (n_nationkey % {GRID_NX}) * {GRID_DLON} AS bbox_w,
+    {GRID_LAT0} + (n_nationkey // {GRID_NX}) * {GRID_DLAT} AS bbox_s,
+    {GRID_LON0} + (n_nationkey % {GRID_NX} + 1) * {GRID_DLON} AS bbox_e,
+    {GRID_LAT0} + (n_nationkey // {GRID_NX} + 1) * {GRID_DLAT} AS bbox_n
+  FROM nation
+)
+"""
+
+ASSIGNED_CTE = """
+assigned AS (
+  SELECT f.*, b.tile_id, b.collection_id
+  FROM fp f JOIN boundaries b
+    ON f.lon >= b.bbox_w AND f.lon < b.bbox_e
+   AND f.lat >= b.bbox_s AND f.lat < b.bbox_n
+)
+"""
+
+KNN_QUERIES_CTE = """
+knn_queries AS (
+  SELECT
+    printf('q_%04d', n_nationkey) AS query_id,
+    CASE WHEN n_nationkey % 5 = 0
+         THEN 4.0  + ((((n_nationkey+101) * 2654435761) % 4294967296) % 2000) / 10000.0
+         ELSE -180.0 + ((((n_nationkey+101) * 2654435761) % 4294967296) % 360000) / 1000.0
+    END AS qlon,
+    CASE WHEN n_nationkey % 5 = 0
+         THEN 51.0 + ((((n_nationkey+101) * 2246822519) % 4294967296) % 2000) / 10000.0
+         ELSE -60.0 + ((((n_nationkey+101) * 2246822519) % 4294967296) % 120000) / 1000.0
+    END AS qlat
+  FROM nation
+)
+"""
+
+
+def _micro(expr: str) -> str:
+    """Exact micro-degree integer from a double (rounding-mode independent)."""
+    return f"CAST(FLOOR(({expr}) * 100000.0 + 0.5) AS BIGINT)"
+
+
+def _grid_cell_sql(res: int, lon: str = "lon", lat: str = "lat") -> str:
+    nx, ny = 2 ** (res + 1), 2**res
+    gx = f"LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {nx}), 0), {nx - 1})"
+    gy = f"LEAST(GREATEST(FLOOR(({lat} + 90.0) / 180.0 * {ny}), 0), {ny - 1})"
+    return f"CAST({res} * 4294967296 + {gx} * 65536 + {gy} AS BIGINT)"
+
+
+def _tile_x_sql(zoom: int, lon: str = "lon") -> str:
+    n = 2**zoom
+    return f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+
+
+def _tile_y_sql(zoom: int, lat: str = "lat") -> str:
+    n = 2**zoom
+    merc = f"LN(TAN(RADIANS({lat})) + 1.0 / COS(RADIANS({lat})))"
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}), 0), {n - 1})"
+        " AS BIGINT)"
+    )
+
+
+HAVERSINE_SQL = (
+    "2.0 * 6371000.0 * ASIN(SQRT(LEAST("
+    "POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2), 1.0)))"
+)
+
+
+# --- full oracle statements -------------------------------------------------
+
+def sql_footprints() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id, phash, w, h, fmt, caption, is_hot,
+       lon, lat, fp_w, fp_s, fp_e, fp_n
+FROM fp
+"""
+
+
+def sql_cell_assign() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id,
+       {_grid_cell_sql(5)} AS cell_r5,
+       {_grid_cell_sql(7)} AS cell_r7,
+       {_grid_cell_sql(9)} AS cell_r9
+FROM fp
+"""
+
+
+def sql_tile_assign(zoom: int = 6) -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id, {_tile_x_sql(zoom)} AS tile_x, {_tile_y_sql(zoom)} AS tile_y,
+       {zoom} AS zoom
+FROM fp
+"""
+
+
+def sql_spatial_join() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()}
+SELECT image_id, tile_id, collection_id FROM assigned
+"""
+
+
+def sql_extent_by_collection() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()}
+SELECT collection_id,
+       COUNT(*) AS n_assets,
+       {_micro('MIN(fp_w)')} AS ext_w_u,
+       {_micro('MIN(fp_s)')} AS ext_s_u,
+       {_micro('MAX(fp_e)')} AS ext_e_u,
+       {_micro('MAX(fp_n)')} AS ext_n_u,
+       CAST(epoch(MIN(datetime)) AS BIGINT) AS dt_min_s,
+       CAST(epoch(MAX(datetime)) AS BIGINT) AS dt_max_s
+FROM assigned
+GROUP BY collection_id
+"""
+
+
+def sql_extent_rollup() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()}
+SELECT COALESCE(collection_id, 'ALL') AS collection_id,
+       COALESCE(year, -1) AS year,
+       COUNT(*) AS n_assets,
+       {_micro('MIN(fp_w)')} AS ext_w_u,
+       {_micro('MIN(fp_s)')} AS ext_s_u,
+       {_micro('MAX(fp_e)')} AS ext_e_u,
+       {_micro('MAX(fp_n)')} AS ext_n_u
+FROM assigned
+GROUP BY ROLLUP(collection_id, year)
+"""
+
+
+def sql_item_grouping() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT item_id,
+       COUNT(*) AS n_assets,
+       COUNT(DISTINCT asset_type) AS n_types,
+       {_micro('MIN(fp_w)')} AS ext_w_u,
+       {_micro('MIN(fp_s)')} AS ext_s_u,
+       {_micro('MAX(fp_e)')} AS ext_e_u,
+       {_micro('MAX(fp_n)')} AS ext_n_u,
+       CAST(epoch(MIN(datetime)) AS BIGINT) AS dt_min_s
+FROM fp
+GROUP BY item_id
+"""
+
+
+def sql_knn(k: int = 5) -> str:
+    hav = HAVERSINE_SQL.format(lat1="q.qlat", lon1="q.qlon", lat2="i.lat", lon2="i.lon")
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {KNN_QUERIES_CTE.strip()},
+dists AS (
+  SELECT q.query_id, i.image_id, {hav} AS dist_m
+  FROM knn_queries q CROSS JOIN fp i
+),
+ranked AS (
+  SELECT query_id, image_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m, image_id)
+           AS "rank"
+  FROM dists
+)
+SELECT query_id, "rank", image_id FROM ranked WHERE "rank" <= {k}
+"""

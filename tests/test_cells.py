@@ -1,0 +1,125 @@
+"""Unit tests for the cell indexes: hierarchy, ring adjacency, prefix parents.
+
+Table-driven like the reference's projection tests
+(reference tests/test_projections.py:12-124).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stac_catalog_builder_spark.functions.cells import (
+    grid_bounds_np,
+    grid_cell_np,
+    grid_cover_bbox,
+    grid_parent_np,
+    hex_cell_np,
+    hex_center_np,
+    hex_kring_np,
+    hex_parent_np,
+    s2_cell_np,
+    s2_level_np,
+    s2_parent_np,
+)
+
+RNG = np.random.default_rng(42)
+N = 2000
+LON = RNG.uniform(-179.9, 179.9, N)
+LAT = RNG.uniform(-59.9, 59.9, N)
+
+
+# --- grid -------------------------------------------------------------------
+
+@pytest.mark.parametrize("res", [5, 7, 9, 12])
+def test_grid_point_in_own_cell(res):
+    cells = grid_cell_np(LON, LAT, res)
+    w, s, e, n = grid_bounds_np(cells)
+    assert ((LON >= w) & (LON < e + 1e-9) & (LAT >= s) & (LAT < n + 1e-9)).all()
+
+
+@pytest.mark.parametrize("res", [6, 8, 12])
+def test_grid_parent_containment(res):
+    child = grid_cell_np(LON, LAT, res)
+    parent_direct = grid_cell_np(LON, LAT, res - 1)
+    assert (grid_parent_np(child) == parent_direct).all()
+
+
+def test_grid_cover_contains_point_cells():
+    cover = set(grid_cover_bbox(3.9, 50.9, 5.1, 52.1, 7))
+    pts = grid_cell_np(np.array([4.0, 5.0, 4.5]), np.array([51.0, 52.0, 51.5]), 7)
+    assert set(int(c) for c in pts) <= cover
+
+
+# --- hex (H3-like) -----------------------------------------------------------
+
+@pytest.mark.parametrize("res", [5, 7, 9, 12])
+def test_hex_center_roundtrip(res):
+    cells = hex_cell_np(LON, LAT, res)
+    cx, cy = hex_center_np(cells)
+    again = hex_cell_np(cx, cy, res)
+    assert (again == cells).all()
+
+
+@pytest.mark.parametrize("res", [5, 8, 12])
+def test_hex_parent_contains_child_center(res):
+    """H3-like approximate containment: the child's center lies in the
+    parent cell (hexes never nest exactly; same property real H3 has)."""
+    child = hex_cell_np(LON, LAT, res)
+    parent = hex_parent_np(child)
+    cx, cy = hex_center_np(child)
+    # the parent of the child must be the res-1 cell of the child's center
+    assert (parent == hex_cell_np(cx, cy, res - 1)).all()
+
+
+def test_hex_kring_counts_and_symmetry():
+    c = int(hex_cell_np(np.array([4.0]), np.array([51.0]), 7)[0])
+    for k in (0, 1, 2, 3):
+        ring = hex_kring_np(c, k)
+        assert len(ring) == 1 + 3 * k * (k + 1)  # hexagonal number
+        assert len(set(ring.tolist())) == len(ring)
+    # symmetry: b in kring(a) <=> a in kring(b)
+    ring1 = hex_kring_np(c, 1)
+    for b in ring1:
+        assert c in set(hex_kring_np(int(b), 1).tolist())
+
+
+def test_hex_neighbors_are_close():
+    c = int(hex_cell_np(np.array([4.0]), np.array([51.0]), 7)[0])
+    cx, cy = hex_center_np(np.array([c]))
+    ring = hex_kring_np(c, 1)
+    nx, ny = hex_center_np(ring)
+    d = np.hypot(nx - cx[0], ny - cy[0])
+    d = d[d > 0]
+    assert np.allclose(d, d[0], rtol=1e-9)  # all 6 neighbors equidistant
+
+
+# --- s2-style ----------------------------------------------------------------
+
+@pytest.mark.parametrize("level", [5, 10, 20, 30])
+def test_s2_exact_prefix_parent(level):
+    child = s2_cell_np(LON, LAT, level)
+    parent_direct = s2_cell_np(LON, LAT, level - 1)
+    assert (s2_parent_np(child) == parent_direct).all()
+
+
+def test_s2_level_decode():
+    for level in (0, 5, 12, 30):
+        cells = s2_cell_np(LON[:100], LAT[:100], level)
+        assert (s2_level_np(cells) == level).all()
+
+
+def test_s2_locality():
+    """Nearby points share high-level cells; antipodal points never do."""
+    a = s2_cell_np(np.array([4.0]), np.array([51.0]), 10)
+    b = s2_cell_np(np.array([4.0001]), np.array([51.0001]), 10)
+    far = s2_cell_np(np.array([-176.0]), np.array([-51.0]), 10)
+    assert a[0] == b[0]
+    assert a[0] != far[0]
+
+
+def test_s2_distinct_faces():
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 89.9, 0.0, 0.0, -89.9])
+    cells = s2_cell_np(lon, lat, 0)
+    assert len(set(cells.tolist())) == 6

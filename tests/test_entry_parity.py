@@ -1,0 +1,49 @@
+"""Local replica of the driver's correctness gate: every ``queries()`` entry
+vs its DuckDB ``oracle_sql()`` at sf0.001 — row count, schema (column names),
+and order-insensitive value equality.
+
+This is the engine's end-to-end golden test, the analogue of the reference's
+golden-JSON comparison (reference tests/test_commandapi.py:20-57).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import pandas as pd
+import pytest
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+SF = "/root/testdata/sf0.001"
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    oracle = entry_mod.oracle_sql()
+    if name not in oracle:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+    got = _normalize(entry_mod.queries()[name](spark, SF).toPandas())
+    want = _normalize(duck.sql(oracle[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"collection_id", "tile_id", "n_assets"} <= set(df.columns)

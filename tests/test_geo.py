@@ -1,0 +1,100 @@
+"""Geo kernel unit tests.
+
+The UTM case reuses the reference's own golden values and tolerances:
+(4E,51N)-(5E,52N) box in EPSG:3043/UTM31N with <=10 m absolute error
+(reference tests/test_projections.py:12-124).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stac_catalog_builder_spark.functions.geo import (
+    haversine_np,
+    point_in_polygon_np,
+    points_in_polygons_np,
+    rect_ring,
+    utm_forward_np,
+)
+
+
+def test_haversine_known_values():
+    # Paris -> London ~ 343-344 km
+    d = haversine_np(2.3522, 48.8566, -0.1276, 51.5072)
+    assert 330_000 < float(d) < 350_000
+    # zero distance
+    assert float(haversine_np(4.0, 51.0, 4.0, 51.0)) == 0.0
+    # one degree of latitude ~ 111.2 km
+    assert abs(float(haversine_np(0, 0, 0, 1)) - 111_195) < 100
+
+
+def test_haversine_symmetry_vectorized():
+    rng = np.random.default_rng(7)
+    lon1, lat1 = rng.uniform(-180, 180, 100), rng.uniform(-60, 60, 100)
+    lon2, lat2 = rng.uniform(-180, 180, 100), rng.uniform(-60, 60, 100)
+    assert np.allclose(
+        haversine_np(lon1, lat1, lon2, lat2), haversine_np(lon2, lat2, lon1, lat1)
+    )
+
+
+def test_utm_forward_matches_reference_golden():
+    """Reference golden values: tests/test_projections.py BBOX_TABLE,
+    EPSG:3043 (ETRS89/UTM 31N — same math as WGS84 UTM 31N within the 10 m
+    tolerance the reference itself uses). The golden bbox is the projected
+    bounds of the (4E,51N)-(5E,52N) box: min easting lands at the (4,52)
+    corner (meridian convergence), min northing at (4,51)."""
+    lon = np.array([4.0, 4.0, 5.0, 5.0])
+    lat = np.array([51.0, 52.0, 51.0, 52.0])
+    x, y = utm_forward_np(lon, lat, 32631)
+    west, south, east, north = x.min(), y.min(), x.max(), y.max()
+    assert abs(west - 568649.7048958719) < 10.0  # reference abs=10.0 m
+    assert abs(south - 5650300.786521471) < 10.0
+    assert abs(east - 640333.2963397139) < 10.0
+    assert abs(north - 5762926.812790221) < 10.0
+
+
+def test_utm_rejects_non_utm_epsg():
+    with pytest.raises(ValueError):
+        utm_forward_np(np.array([4.0]), np.array([51.0]), 3035)
+
+
+def test_pip_square():
+    rx, ry = rect_ring(0.0, 0.0, 10.0, 10.0)
+    px = np.array([5.0, -1.0, 10.5, 9.99, 0.01])
+    py = np.array([5.0, 5.0, 5.0, 9.99, 0.01])
+    assert point_in_polygon_np(px, py, rx, ry).tolist() == [
+        True, False, False, True, True,
+    ]
+
+
+def test_pip_concave_polygon():
+    # L-shape: unit tests against a hand-checked concave case
+    vx = np.array([0.0, 4.0, 4.0, 2.0, 2.0, 0.0])
+    vy = np.array([0.0, 0.0, 2.0, 2.0, 4.0, 4.0])
+    px = np.array([1.0, 3.0, 3.0, 1.0])
+    py = np.array([1.0, 1.0, 3.0, 3.0])
+    assert point_in_polygon_np(px, py, vx, vy).tolist() == [True, True, False, True]
+
+
+def test_pip_adjacent_cells_partition():
+    """Half-open edge rule: a point strictly inside exactly one of two
+    adjacent rectangles matches exactly one; grid assignment partitions."""
+    left = rect_ring(0.0, 0.0, 5.0, 10.0)
+    right = rect_ring(5.0, 0.0, 10.0, 10.0)
+    rng = np.random.default_rng(11)
+    px = rng.uniform(0.001, 9.999, 500)
+    py = rng.uniform(0.001, 9.999, 500)
+    in_l = point_in_polygon_np(px, py, *left)
+    in_r = point_in_polygon_np(px, py, *right)
+    assert ((in_l.astype(int) + in_r.astype(int)) == 1).all()
+
+
+def test_points_in_polygons_pairs():
+    polys = [rect_ring(0, 0, 1, 1), rect_ring(2, 2, 3, 3)]
+    px = np.array([0.5, 2.5, 0.5, 2.5])
+    py = np.array([0.5, 2.5, 2.5, 0.5])
+    idx = np.array([0, 1, 0, 1])
+    assert points_in_polygons_np(px, py, idx, polys).tolist() == [
+        True, True, False, False,
+    ]
