@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from stac_catalog_builder_spark import oracles, synth
 from stac_catalog_builder_spark.functions.cells import grid_cell_col
 from stac_catalog_builder_spark.functions.geo import rect_ring
+from stac_catalog_builder_spark.operators import dedup, similarity, textops
 from stac_catalog_builder_spark.operators.footprints import with_footprint
 from stac_catalog_builder_spark.operators.grouping import (
     collection_extents,
@@ -30,6 +31,7 @@ from stac_catalog_builder_spark.operators.grouping import (
 from stac_catalog_builder_spark.operators.knn import knn_join
 from stac_catalog_builder_spark.operators.spatial_join import spatial_join_pip
 from stac_catalog_builder_spark.operators.tiling import with_tile
+from stac_catalog_builder_spark.plans import relational
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -152,6 +154,125 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "image_id")
 
 
+# --- batch 2: dedup / text / similarity / relational -----------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.dedup_exact(corpus)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 3),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    jac = dedup.ngram_jaccard(pairs, docs)
+    return jac.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 1000.0 + 0.5).cast("bigint").alias("jac_x1000"),
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (LSH banding is not SQL-expressible); exactness of the
+    candidate set vs a numpy oracle is covered in tests/test_dedup.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.minhash_candidate_pairs(corpus).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: near-dup pairs at Hamming<=3 over a corpus with exact dups
+    injected (every doc duplicated -> hamming 0 pairs guaranteed)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.simhash_candidate_pairs(corpus)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: rolling-hash fingerprint; invariance checked in pytest."""
+    return dedup.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.cosine_topk(emb, qs, k=5)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000.0 + 0.5).cast("bigint").alias("cos_x1e6"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: inject scaled copies (cosine==1) and find them via
+    hyperplane-LSH buckets + exact verify."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.0009)).alias("embedding"),
+    )
+    return dedup.embedding_neardup_pairs(
+        emb.unionByName(copies), threshold=0.9999
+    ).select("id_a", "id_b")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(spark, sf_dir)
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders(spark, sf_dir)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_nation(spark, sf_dir)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_hourly(spark, sf_dir)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.sessionize(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "footprints": q_footprints,
@@ -162,6 +283,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_rollup": q_extent_rollup,
         "item_grouping": q_item_grouping,
         "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
     }
 
 
@@ -175,4 +311,17 @@ def oracle_sql() -> dict[str, str]:
         "extent_rollup": oracles.sql_extent_rollup(),
         "item_grouping": oracles.sql_item_grouping(),
         "knn": oracles.sql_knn(k=5),
+        "dedup_exact": oracles.sql_dedup_exact(),
+        "token_stats": oracles.sql_token_stats(),
+        "quality_score": oracles.sql_quality_score(),
+        "lang_id": oracles.sql_lang_id(),
+        "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(max_gap=3),
+        "ann_cosine_topk": oracles.sql_ann_cosine_topk(k=5, n_queries=20),
+        "pricing_summary": oracles.sql_pricing_summary(),
+        "top_orders": oracles.sql_top_orders(limit=10),
+        "revenue_by_nation": oracles.sql_revenue_by_nation(),
+        "events_hourly": oracles.sql_events_hourly(),
+        "sessionize": oracles.sql_sessionize(gap_minutes=30),
+        # no oracle (non-SQL-expressible -> rows-only checks):
+        # minhash_pairs, simhash_pairs, doc_fingerprint, embedding_neardup
     }

@@ -1,0 +1,95 @@
+"""Text analysis operators for training-data pipelines: token stats, quality
+scoring, language-ID heuristic, fingerprinting.
+
+Design rule: everything the built-in JVM functions can express stays out of
+Python (split/array_distinct/replace/length are codegen'd); only the rolling
+fingerprint needs an Arrow UDF (see operators/dedup.py:with_fingerprint).
+
+All scores that feed the DuckDB oracle are emitted as scaled BIGINTs
+(``floor(x*1000 + 0.5)``) computed from integer counts, so both engines agree
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# keyword groups for the n-gram language heuristic: occurrence counts of
+# language-marker tokens decide the label (deterministic tiebreak by order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and "],
+    "fr": [" le ", " et "],
+    "de": [" der ", " und "],
+    "es": [" el ", " y "],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal in a string — pure JVM:
+    (len(s) - len(replace(s, needle))) / len(needle)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Whitespace token counting + lexical diversity (distinct/total)."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(key_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: mean token length, lexical diversity,
+    stopword ratio — scaled-integer outputs (x1000)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = _occurrences(
+        F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), " the "
+    ) + _occurrences(F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), " a ")
+    mean_tok_len_x1000 = F.floor(
+        (F.length(F.col(text_col)) - n_tokens + 1) * 1000.0 / n_tokens + 0.5
+    ).cast("bigint")
+    diversity_x1000 = F.floor(n_distinct * 1000.0 / n_tokens + 0.5).cast("bigint")
+    stop_ratio_x1000 = F.floor(n_stop * 1000.0 / n_tokens + 0.5).cast("bigint")
+    return df.select(
+        F.col(key_col),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len_x1000.alias("mean_tok_len_x1000"),
+        diversity_x1000.alias("diversity_x1000"),
+        stop_ratio_x1000.alias("stop_ratio_x1000"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """N-gram language-ID heuristic: argmax of marker-token counts, ties
+    resolved in LANG_MARKERS order, zero evidence -> 'und'."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    counts = {
+        lang: sum((_occurrences(padded, m) for m in markers), F.lit(0).cast("bigint"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in LANG_MARKERS:  # insertion order = tiebreak order
+        c = counts[lang]
+        if best is None:
+            best = (c, F.lit(lang))
+        else:
+            best = (
+                F.when(c > best[0], c).otherwise(best[0]),
+                F.when(c > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    assert best is not None
+    pred = F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(key_col),
+        *[counts[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )

@@ -252,3 +252,197 @@ ranked AS (
 )
 SELECT query_id, "rank", image_id FROM ranked WHERE "rank" <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: dedup / text / similarity / relational oracles
+# ---------------------------------------------------------------------------
+
+def sql_dedup_exact() -> str:
+    return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def sql_token_stats() -> str:
+    return """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+def sql_quality_score() -> str:
+    return """
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))//5
+            + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))//3
+           AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR((length(text) - n_tokens + 1) * 1000.0 / n_tokens + 0.5) AS BIGINT)
+    AS mean_tok_len_x1000,
+  CAST(FLOOR(n_distinct * 1000.0 / n_tokens + 0.5) AS BIGINT) AS diversity_x1000,
+  CAST(FLOOR(n_stop * 1000.0 / n_tokens + 0.5) AS BIGINT) AS stop_ratio_x1000
+FROM q
+"""
+
+
+def sql_lang_id() -> str:
+    def occ(m: str) -> str:
+        return f"(length(p) - length(replace(p, '{m}', ''))) // {len(m)}"
+
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST({occ(' the ')} + {occ(' and ')} AS BIGINT) AS score_en,
+    CAST({occ(' le ')}  + {occ(' et ')}  AS BIGINT) AS score_fr,
+    CAST({occ(' der ')} + {occ(' und ')} AS BIGINT) AS score_de,
+    CAST({occ(' el ')}  + {occ(' y ')}   AS BIGINT) AS score_es
+  FROM padded
+)
+SELECT doc_id, score_en, score_fr, score_de, score_es,
+  CASE WHEN GREATEST(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+       WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+       WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+       WHEN score_de >= score_es THEN 'de'
+       ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+def sql_ngram_jaccard_pairs(max_gap: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+  FROM toks a JOIN toks b
+    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {max_gap}
+)
+SELECT id_a, id_b,
+  CAST(FLOOR(1000.0 * len(list_intersect(ta, tb))
+             / len(list_distinct(ta || tb)) + 0.5) AS BIGINT) AS jac_x1000
+FROM pairs
+"""
+
+
+def sql_ann_cosine_topk(k: int = 5, n_queries: int = 20) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+        " (acc, v) -> acc + v)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, v) -> acc + v))"
+    cos = (
+        dot.format(a="qvec", b="nvec")
+        + " / (" + nrm.format(a="qvec") + " * " + nrm.format(a="nvec") + ")"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+f AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine
+  FROM q CROSS JOIN f WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS "rank"
+  FROM scored
+)
+SELECT query_id, "rank", neighbor_id,
+       CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS cos_x1e6
+FROM ranked WHERE "rank" <= {k}
+"""
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
+  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS sum_disc_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_top_orders(limit: int = 10) -> str:
+    return f"""
+SELECT l_orderkey,
+  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT {limit}
+"""
+
+
+def sql_revenue_by_nation() -> str:
+    return """
+SELECT n_name,
+  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) AS sum_value_x1000,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN gap IS NULL OR gap > {gap_minutes * 60} THEN 1 ELSE 0 END)
+         AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""

@@ -32,7 +32,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(spark, duck, name):
     oracle = entry_mod.oracle_sql()
     if name not in oracle:
-        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+        # rows-only gate (driver's weaker check for non-SQL-expressible ops)
+        n = entry_mod.queries()[name](spark, SF).count()
+        assert n > 0, f"{name}: rows-only check produced 0 rows"
+        return
     got = _normalize(entry_mod.queries()[name](spark, SF).toPandas())
     want = _normalize(duck.sql(oracle[name]).df())
     assert list(got.columns) == list(want.columns), (
