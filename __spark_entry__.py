@@ -28,7 +28,8 @@ from stac_catalog_builder_spark.operators.grouping import (
     collection_rollup,
     items_from_assets,
 )
-from stac_catalog_builder_spark.operators.knn import knn_join
+from stac_catalog_builder_spark.operators import multimodal
+from stac_catalog_builder_spark.operators.knn import knn_join, knn_join_cellring
 from stac_catalog_builder_spark.operators.spatial_join import spatial_join_pip
 from stac_catalog_builder_spark.operators.tiling import with_tile
 from stac_catalog_builder_spark.plans import relational
@@ -253,6 +254,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell ring-expansion kNN — must produce the SAME rows as q_knn
+    (same oracle): the pruned path is exact, not approximate."""
+    out = knn_join_cellring(
+        _images_fp(spark, sf_dir), synth.knn_queries(spark, sf_dir), k=5, res=6
+    )
+    return out.select("query_id", "rank", "image_id")
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: encode the phash-seeded raster per row (raw/png), decode it
+    back, emit stats + the input_hint per-row invariants (pixel allclose +
+    caption equality). pytest asserts every pixel_ok/caption_ok is true."""
+    imgs = multimodal.with_encoded_bytes(_images_fp(spark, sf_dir).limit(500))
+    return multimodal.decode_stats(imgs)
+
+
+def q_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: decode -> block-mean embedding -> cosine top-3 neighbors
+    for 10 probe images (the image-side ANN pipeline end-to-end)."""
+    imgs = multimodal.with_encoded_bytes(_images_fp(spark, sf_dir).limit(300))
+    emb = multimodal.image_embedding(imgs).withColumnRenamed("image_id", "vec_id")
+    qs = emb.where(F.col("vec_id") < F.lit("img_00000020")).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(emb, qs, k=3).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(spark, sf_dir)
 
@@ -283,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_rollup": q_extent_rollup,
         "item_grouping": q_item_grouping,
         "knn": q_knn,
+        "knn_cellring": q_knn_cellring,
+        "image_decode_stats": q_image_decode_stats,
+        "image_embedding_topk": q_image_embedding_topk,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -311,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "extent_rollup": oracles.sql_extent_rollup(),
         "item_grouping": oracles.sql_item_grouping(),
         "knn": oracles.sql_knn(k=5),
+        "knn_cellring": oracles.sql_knn(k=5),  # exact pruning: same oracle
         "dedup_exact": oracles.sql_dedup_exact(),
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: the flagship spatial-join + tile-assignment pipeline
+(BASELINE.json `metric`), reported as wall seconds with images/sec derived.
+Each query is forced end-to-end with a noop write (all columns materialized,
+nothing collected to the driver).
+
+Usage:
+  python bench.py                      # env-driven (driver protocol)
+  python bench.py --master local[8]    # scaling evidence runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from stac_catalog_builder_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> int:
+    """Materialize every column of every row; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    import __spark_entry__ as e
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # flagship: footprints -> cells -> PIP spatial join -> tile assign ->
+    # extent aggregation, one fused plan (what the metric measures)
+    n_images = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    def flagship():
+        assigned = e._assigned(spark, sf_dir)
+        from stac_catalog_builder_spark.operators.tiling import with_tile
+        from stac_catalog_builder_spark.operators.grouping import collection_extents
+
+        tiled = with_tile(assigned, zoom=6)
+        _force(tiled.select("image_id", "tile_id", "collection_id", "tile_x", "tile_y"))
+        _force(collection_extents(assigned, ["collection_id", "tile_id"]))
+
+    timed("flagship_spatial_join", flagship)
+    extras["images_per_sec"] = round(n_images / timings["flagship_spatial_join"], 1)
+    extras["n_images"] = n_images
+
+    bench_queries = [
+        "cell_assign",
+        "tile_assign",
+        "item_grouping",
+        "extent_rollup",
+        "knn",
+        "dedup_exact",
+        "minhash_pairs",
+        "ann_cosine_topk",
+        "pricing_summary",
+        "revenue_by_nation",
+        "events_hourly",
+        "sessionize",
+    ]
+    qs = e.queries()
+    for name in bench_queries:
+        timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+    return timings, extras
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app="scb-bench", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    cores = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    timings, extras = run_suite(spark, args.sf_dir)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_spatial_join_tile_assign_sec",
+                "value": timings["flagship_spatial_join"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "total_sec": total,
+                "cores": cores,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,8 @@ def knn_join_cellring(
         )
         done = []
         for qid in list(pending):
-            mine = topk[topk["query_id"] == qid].nsmallest(k, ["dist_m", "image_id"])
+            mine = (topk[topk["query_id"] == qid]
+                    .sort_values(["dist_m", "image_id"]).head(k))
             if len(mine) >= k and mine["dist_m"].iloc[-1] <= (r - 1) * min_width_m:
                 results.append(mine)
                 done.append(qid)
@@ -139,7 +140,7 @@ def knn_join_cellring(
         topk = fact.mapInPandas(_partial_topk_gen(sub_q, k), schema=_OUT_SCHEMA).toPandas()
         for qid in pending:
             results.append(
-                topk[topk["query_id"] == qid].nsmallest(k, ["dist_m", "image_id"])
+                topk[topk["query_id"] == qid].sort_values(["dist_m", "image_id"]).head(k)
             )
     out = pd.concat(results, ignore_index=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1

@@ -30,6 +30,15 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Whole-stage codegen fuses scan+join+refine+projection into one Java
+    # method; complex spatial expressions push it past HotSpot's 8000-bytecode
+    # JIT refusal threshold (DontCompileHugeMethods), leaving the hot loop in
+    # the bytecode INTERPRETER: measured 9x slower and anti-scaling with
+    # cores on this engine's PIP+tiling plan. Lifting the cap restores JIT.
+    # (Must be set before JVM launch — driver for local mode, executors for
+    # cluster mode.)
+    "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
 }
 
 

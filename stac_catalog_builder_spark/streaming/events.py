@@ -1,0 +1,100 @@
+"""Structured Streaming: windowed event rollups with watermarks.
+
+The reference is batch-only; its streaming-shaped mechanics are time-slot
+partitioned ingestion + resumable slices (stacbuilder/terracatalog.py:432-551).
+This module is the real streaming form: file-source -> watermark -> tumbling
+window -> sink, plus a foreachBatch exactly-once sink into the SnapshotStore
+(streaming checkpoint == the reference's slice/resume semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source event stream (one parquet dir; in production: Kafka)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window rollup with late-data watermark: the streaming twin of
+    plans/relational.events_hourly (same aggregate set)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias(
+                "sum_value_x1000"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value_x1000",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, src_path: str, query_name: str = "events_rollup"
+) -> DataFrame:
+    """Drive the stream to completion synchronously (memory sink) — the
+    pattern for deterministic streaming tests; returns the result table."""
+    agg = windowed_rollup(read_event_stream(spark, src_path))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_foreach_batch_to_store(
+    spark: SparkSession, src_path: str, store, stage: str = "stream_rollup"
+) -> None:
+    """Exactly-once sink: each micro-batch lands in the SnapshotStore with
+    lineage rows (foreachBatch + idempotent partition commit)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_stage(
+            batch_df.withColumn("part_key", F.lit(int(epoch_id))),
+            stage,
+            "part_key",
+            snapshot_note=f"epoch={epoch_id}",
+        )
+
+    agg = windowed_rollup(read_event_stream(spark, src_path))
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -63,7 +63,7 @@ def _h2(key: Column) -> Column:
     return (key * F.lit(A_LAT)) % F.lit(M32)
 
 
-def images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """The synthetic image+caption table, derived from ``orders``.
 
     Columns: img_key, image_id, phash, w, h, fmt, asset_type, item_id,
@@ -72,8 +72,22 @@ def images(spark: SparkSession, sf_dir: str) -> DataFrame:
     here — ``operators.multimodal.with_encoded_bytes`` adds it on demand
     (keeps the scan narrow when a query only needs geometry, exactly the
     column-pruning the reference hand-rolled at terracatalog.py:623-626).
+
+    ``replicate`` scales the table deterministically (disjoint key ranges per
+    replica) for bench runs beyond the driver's SF tiers.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if replicate > 1:
+        # replicas via a partitioned range DRIVING a broadcast of the key
+        # column: scales to any replicate with no shuffle and no giant plan
+        # (a unionAll chain blows up analysis; a fact-side crossJoin inherits
+        # the single-file scan's 1-2 partitions). The offset keeps replica
+        # keys disjoint while key * A_LON stays inside int64 (ANSI mode
+        # errors on overflow) up to replicate ~17000.
+        reps = spark.range(replicate).select((F.col("id") * 200_000).alias("rep_off"))
+        orders = reps.crossJoin(F.broadcast(orders.select("o_orderkey"))).select(
+            (F.col("o_orderkey") + F.col("rep_off")).alias("o_orderkey")
+        )
     key = F.col("o_orderkey")
     h1, h2 = _h1(key), _h2(key)
     item_key = F.expr("o_orderkey div 2")

@@ -1,0 +1,78 @@
+"""Checkpoint/lineage/resume tests — parity with the reference's slice
+spill/skip/restore semantics (stacbuilder/terracatalog.py:339-396, 493-551)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore, run_resumable
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(tmp_path / "ckpt")
+
+
+def _work(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "part_key string")
+
+
+def test_write_then_read_stage(spark, store):
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part_key"), F.col("id").alias("v")
+    )
+    snap = store.write_stage(df, "s1", "part_key")
+    assert sorted(snap["partitions"]) == ["0", "1", "2", "3"]
+    back = store.read_stage(spark, "s1")
+    assert back.count() == 100
+    m = {r.part_key: r.n_rows for r in store.metrics(spark, "s1").collect()}
+    assert m == {"0": 25, "1": 25, "2": 25, "3": 25}
+
+
+def test_pending_anti_join(spark, store):
+    df = spark.range(10).select(
+        (F.col("id") % 2).cast("string").alias("part_key"), F.col("id").alias("v")
+    )
+    store.write_stage(df, "s2", "part_key")
+    work = _work(spark, ["0", "1", "2", "3"])
+    pending = store.pending(work, spark, "s2", "part_key").collect()
+    assert sorted(r.part_key for r in pending) == ["2", "3"]
+
+
+def test_run_resumable_computes_only_missing(spark, store):
+    calls = []
+
+    def compute(keys_df):
+        got = sorted(r.part_key for r in keys_df.collect())
+        calls.append(got)
+        return spark.createDataFrame(
+            [(k, int(k) * 10) for k in got], "part_key string, v int"
+        )
+
+    work = _work(spark, ["1", "2", "3"])
+    out1 = run_resumable(store, spark, "s3", work, "part_key", compute)
+    assert out1.count() == 3
+    assert calls == [["1", "2", "3"]]
+
+    # second run: nothing pending, compute not called again
+    out2 = run_resumable(store, spark, "s3", work, "part_key", compute)
+    assert out2.count() == 3
+    assert len(calls) == 1
+
+    # extended work: only the new partition is computed (the reference's
+    # "skip already stored slots" at terracatalog.py:497-505)
+    work2 = _work(spark, ["1", "2", "3", "4"])
+    out3 = run_resumable(store, spark, "s3", work2, "part_key", compute)
+    assert out3.count() == 4
+    assert calls[1] == ["4"]
+
+
+def test_snapshot_log_appends(spark, store):
+    df = spark.range(4).select(
+        F.lit("a").alias("part_key"), F.col("id").alias("v")
+    )
+    store.write_stage(df, "s4", "part_key", snapshot_note="first")
+    store.write_stage(df, "s4", "part_key", snapshot_note="second")
+    snaps = store.snapshots("s4")
+    assert [s["note"] for s in snaps] == ["first", "second"]
