@@ -155,6 +155,153 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "image_id")
 
 
+# --- batch 4: path parsing / href / range join / windows / cells -----------
+
+
+def _with_paths(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "asset_path",
+        F.format_string(
+            "/data/%s/%04d/%s_%04d-%02d.tif",
+            F.col("asset_type"), F.col("year"), F.col("asset_type"),
+            F.col("year"), F.col("month"),
+        ),
+    )
+
+
+def q_pathparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_catalog_builder_spark.operators import pathparse
+
+    paths = _with_paths(synth.images(spark, sf_dir)).select("image_id", "asset_path")
+    parsed = pathparse.parse_path_fields(
+        paths,
+        "asset_path",
+        r"(?P<year>\d{4})-(?P<month>\d{2})\.tif",
+        {"year": "int", "month": "int"},
+    )
+    out = pathparse.with_period_datetimes(parsed, period="monthly")
+    return out.select(
+        "image_id",
+        "year",
+        "month",
+        F.unix_timestamp("start_datetime").alias("start_s"),
+        F.unix_timestamp("end_datetime").alias("end_s"),
+    )
+
+
+def q_href_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_catalog_builder_spark.operators import pathparse
+
+    df = _with_paths(synth.images(spark, sf_dir)).withColumn(
+        "grid_tile",
+        F.concat(
+            F.lit("E"), (F.col("img_key") % 30).cast("string"),
+            F.lit("N"), (F.col("img_key") % 15).cast("string"),
+        ),
+    ).withColumn(
+        "utm_tile",
+        F.concat(F.lpad((F.col("img_key") % 60 + 1).cast("string"), 2, "0"), F.lit("UFS")),
+    )
+    tile_e, tile_n = pathparse.parse_tile_id(F.col("grid_tile"))
+    return df.select(
+        "image_id",
+        pathparse.asset_url(
+            F.col("asset_path"), "/data", "https://cdn.example.org/assets/{}?v=1"
+        ).alias("url"),
+        pathparse.s3_alternate_href(F.col("asset_path"), "my-bucket", "catalog").alias(
+            "s3_href"
+        ),
+        pathparse.epsg_from_tile_or_default(F.col("utm_tile")).alias("epsg"),
+        tile_e.alias("tile_e"),
+        tile_n.alias("tile_n"),
+    )
+
+
+def q_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval join events x time slots (the reference's catalogue
+    time-slot windows, terracatalog.py:432-453) — broadcast range join."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    slots = nation.select(
+        F.col("n_nationkey").alias("slot_id"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.col("n_nationkey").cast("int"))
+        .cast("timestamp")
+        .alias("slot_start"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("n_nationkey") + 1).cast("int"))
+        .cast("timestamp")
+        .alias("slot_end"),
+    )
+    joined = events.join(
+        F.broadcast(slots),
+        (F.col("ts") >= F.col("slot_start")) & (F.col("ts") < F.col("slot_end")),
+    )
+    return joined.groupBy("slot_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias(
+            "sum_value_x1000"
+        ),
+    )
+
+
+def q_first_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_catalog_builder_spark.operators.grouping import first_asset_geometry
+
+    firsts = first_asset_geometry(synth.images(spark, sf_dir))
+    return firsts.select("item_id", F.col("image_id").alias("first_asset_id"))
+
+
+def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stac_catalog_builder_spark.operators.tiling import tile_cover
+
+    return tile_cover(_images_fp(spark, sf_dir), zoom=8).select(
+        "image_id", "tile_x", "tile_y", "zoom"
+    )
+
+
+def q_salted_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase extent aggregation — exact rewrite, so it shares the
+    plain per-collection extent oracle."""
+    from stac_catalog_builder_spark.operators.grouping import salted_extent_agg
+
+    ext = salted_extent_agg(_assigned(spark, sf_dir), "collection_id")
+    return ext.select(
+        "collection_id",
+        "n_assets",
+        F.floor(F.col("ext_w") * 100000.0 + 0.5).cast("bigint").alias("ext_w_u"),
+        F.floor(F.col("ext_s") * 100000.0 + 0.5).cast("bigint").alias("ext_s_u"),
+        F.floor(F.col("ext_e") * 100000.0 + 0.5).cast("bigint").alias("ext_e_u"),
+        F.floor(F.col("ext_n") * 100000.0 + 0.5).cast("bigint").alias("ext_n_u"),
+        F.unix_timestamp("dt_min").alias("dt_min_s"),
+        F.unix_timestamp("dt_max").alias("dt_max_s"),
+    )
+
+
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: H3-like hex cells (hierarchy/ring properties are
+    pytest-verified; no SQL expression exists)."""
+    from stac_catalog_builder_spark.functions.cells import hex_cell_udf
+
+    df = _images_fp(spark, sf_dir)
+    return df.select(
+        "image_id",
+        hex_cell_udf(7)(F.col("lon"), F.col("lat")).alias("hex_r7"),
+        hex_cell_udf(9)(F.col("lon"), F.col("lat")).alias("hex_r9"),
+    )
+
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: S2-style cell ids (prefix-parent property pytest-verified)."""
+    from stac_catalog_builder_spark.functions.cells import s2_cell_udf
+
+    df = _images_fp(spark, sf_dir)
+    return df.select(
+        "image_id",
+        s2_cell_udf(12)(F.col("lon"), F.col("lat")).alias("s2_l12"),
+        s2_cell_udf(20)(F.col("lon"), F.col("lat")).alias("s2_l20"),
+    )
+
+
 # --- batch 2: dedup / text / similarity / relational -----------------------
 
 
@@ -315,6 +462,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_grouping": q_item_grouping,
         "knn": q_knn,
         "knn_cellring": q_knn_cellring,
+        "pathparse": q_pathparse,
+        "href_rewrite": q_href_rewrite,
+        "time_range_join": q_time_range_join,
+        "first_asset": q_first_asset,
+        "tile_cover": q_tile_cover,
+        "salted_extent": q_salted_extent,
+        "hex_cells": q_hex_cells,
+        "s2_cells": q_s2_cells,
         "image_decode_stats": q_image_decode_stats,
         "image_embedding_topk": q_image_embedding_topk,
         "dedup_exact": q_dedup_exact,
@@ -346,6 +501,13 @@ def oracle_sql() -> dict[str, str]:
         "item_grouping": oracles.sql_item_grouping(),
         "knn": oracles.sql_knn(k=5),
         "knn_cellring": oracles.sql_knn(k=5),  # exact pruning: same oracle
+        "pathparse": oracles.sql_pathparse(period="monthly"),
+        "href_rewrite": oracles.sql_href_rewrite(),
+        "time_range_join": oracles.sql_time_range_join(),
+        "first_asset": oracles.sql_first_asset(),
+        "tile_cover": oracles.sql_tile_cover(zoom=8),
+        "salted_extent": oracles.sql_salted_extent(),
+        # hex_cells / s2_cells: rows-only (property-tested in pytest)
         "dedup_exact": oracles.sql_dedup_exact(),
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),

@@ -446,3 +446,109 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: path parsing / href / tile cover / range join / window oracles
+# ---------------------------------------------------------------------------
+
+def sql_pathparse(period: str = "monthly") -> str:
+    """Synthetic paths round-trip: build the path from the derived columns,
+    parse year/month back with regex, derive period datetimes."""
+    assert period == "monthly"
+    return f"""
+WITH {IMAGES_CTE.strip()},
+paths AS (
+  SELECT image_id,
+         printf('/data/%s/%04d/%s_%04d-%02d.tif',
+                asset_type, year, asset_type, year, month) AS asset_path
+  FROM images
+),
+parsed AS (
+  SELECT image_id, asset_path,
+         CAST(regexp_extract(asset_path, '(\\d{{4}})-(\\d{{2}})\\.tif', 1) AS INT) AS year,
+         CAST(regexp_extract(asset_path, '(\\d{{4}})-(\\d{{2}})\\.tif', 2) AS INT) AS month
+  FROM paths
+)
+SELECT image_id, year, month,
+  CAST(epoch(make_timestamp(year, month, 1, 0, 0, 0)) AS BIGINT) AS start_s,
+  CAST(epoch(make_timestamp(year, month,
+       CAST(EXTRACT(day FROM last_day(make_date(year, month, 1))) AS BIGINT),
+       23, 59, 59)) AS BIGINT) AS end_s
+FROM parsed
+"""
+
+
+def sql_href_rewrite() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()},
+paths AS (
+  SELECT image_id, img_key,
+         printf('/data/%s/%04d/%s_%04d-%02d.tif',
+                asset_type, year, asset_type, year, month) AS asset_path,
+         'E' || CAST(img_key % 30 AS VARCHAR) || 'N' || CAST(img_key % 15 AS VARCHAR)
+           AS grid_tile,
+         lpad(CAST(img_key % 60 + 1 AS VARCHAR), 2, '0') || 'UFS' AS utm_tile
+  FROM images
+)
+SELECT image_id,
+  'https://cdn.example.org/assets/' || substr(asset_path, 7) || '?v=1' AS url,
+  's3://my-bucket/catalog/' || substr(asset_path, 2) AS s3_href,
+  CAST('326' || lpad(CAST(img_key % 60 + 1 AS VARCHAR), 2, '0') AS INT) AS epsg,
+  CAST(regexp_extract(grid_tile, 'E(\\d+)', 1) AS INT) AS tile_e,
+  CAST(regexp_extract(grid_tile, 'N(\\d+)', 1) AS INT) AS tile_n
+FROM paths
+"""
+
+
+def sql_time_range_join() -> str:
+    return """
+WITH slots AS (
+  SELECT n_nationkey AS slot_id,
+         CAST(DATE '2024-01-01' + CAST(n_nationkey AS INT) AS TIMESTAMP) AS slot_start,
+         CAST(DATE '2024-01-01' + CAST(n_nationkey + 1 AS INT) AS TIMESTAMP) AS slot_end
+  FROM nation
+)
+SELECT s.slot_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       SUM(CAST(FLOOR(e.value * 1000.0 + 0.5) AS BIGINT)) AS sum_value_x1000
+FROM events e JOIN slots s
+  ON e.ts >= s.slot_start AND e.ts < s.slot_end
+GROUP BY s.slot_id
+"""
+
+
+def sql_first_asset() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()},
+ranked AS (
+  SELECT item_id, image_id,
+         row_number() OVER (PARTITION BY item_id ORDER BY image_id) AS rn
+  FROM images
+)
+SELECT item_id, image_id AS first_asset_id FROM ranked WHERE rn = 1
+"""
+
+
+def sql_tile_cover(zoom: int = 8) -> str:
+    x0 = _tile_x_sql(zoom, lon="fp_w")
+    x1 = _tile_x_sql(zoom, lon="fp_e")
+    y0 = _tile_y_sql(zoom, lat="fp_n")  # north edge -> smaller y
+    y1 = _tile_y_sql(zoom, lat="fp_s")
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+ranges AS (
+  SELECT image_id, {x0} AS x0, {x1} AS x1, {y0} AS y0, {y1} AS y1 FROM fp
+)
+SELECT r.image_id, tx.tile_x, ty.tile_y, {zoom} AS zoom
+FROM ranges r
+CROSS JOIN UNNEST(generate_series(r.x0, r.x1)) AS tx(tile_x)
+CROSS JOIN UNNEST(generate_series(r.y0, r.y1)) AS ty(tile_y)
+"""
+
+
+def sql_salted_extent() -> str:
+    """Same result set as the plain per-collection extent (the salted
+    two-phase rewrite is exact) — reuses the collection extent oracle."""
+    return sql_extent_by_collection()

@@ -1,0 +1,151 @@
+"""Catalog sinks: partitioned item output + collection summary + bulk upsert.
+
+- S7 item sink: the reference writes one JSON per item under
+  ``collection/YYYY/MM/DD/`` via an async thread pool (stacbuilder/
+  builder.py:457-482, path layout builder.py:512-519). Spark-first form:
+  ``write.partitionBy(year, month, day)`` — the Hive layout IS the
+  reference's directory scheme, and executor parallelism replaces the pool.
+- S8 collection sink: deterministic sorted links + one summary row
+  (builder.py:545-555, sort at :549).
+- S9 bulk REST upsert with retry: chunks of ``bulk_size`` posted per
+  partition with bounded retries (stacbuilder/stacapi/upload.py:82-103,
+  retry endpoints.py:416-441) — ``foreachPartition`` replaces the async
+  task pool; the transport is injectable so tests use a recording fake.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_items_partitioned(items: DataFrame, out_dir: str, fmt: str = "json") -> None:
+    """S7: items partitioned by (year, month, day) — one file set per day
+    directory, written in parallel by executors."""
+    base = items
+    if "year" not in items.columns:
+        base = base.withColumn("year", F.year("datetime"))
+    if "month" not in base.columns:
+        base = base.withColumn("month", F.month("datetime"))
+    day = F.dayofmonth("datetime") if "day" not in base.columns else F.col("day")
+    base = base.withColumn("day", day)
+    (
+        base.write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .format(fmt)
+        .save(out_dir)
+    )
+
+
+def collection_summary(items: DataFrame, collection_id: str) -> DataFrame:
+    """S8: one summary row — spatial/temporal extent + deterministically
+    sorted item links (the reference sorts links by repr, builder.py:549)."""
+    return items.agg(
+        F.lit(collection_id).alias("collection_id"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("ext_w").alias("ext_w"),
+        F.min("ext_s").alias("ext_s"),
+        F.max("ext_e").alias("ext_e"),
+        F.max("ext_n").alias("ext_n"),
+        F.min("dt_min").alias("dt_min"),
+        F.max("dt_max").alias("dt_max"),
+        F.array_sort(F.collect_list("item_id")).alias("item_links"),
+    )
+
+
+def save_collection(items: DataFrame, collection_id: str, out_dir: str) -> dict:
+    """S8: write ``collection.json`` (single summary row -> one file, like
+    the reference's SELF_CONTAINED collection save)."""
+    row = collection_summary(items, collection_id).collect()[0]
+    payload = {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in row.asDict().items()}
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "collection.json").write_text(json.dumps(payload, indent=2, default=str))
+    return payload
+
+
+# ---------------------------------------------------------------------------
+# S9: bulk upsert sink with bounded retry
+# ---------------------------------------------------------------------------
+
+def _chunked(it: Iterator, size: int) -> Iterator[list]:
+    buf: list = []
+    for x in it:
+        buf.append(x)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def upsert_items_bulk(
+    items: DataFrame,
+    transport: Callable[[dict], None],
+    bulk_size: int = 20,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+) -> None:
+    """S9: post ``{"method": "upsert", "items": {id: row}}`` batches per
+    partition. ``transport`` is any callable (HTTP POST in production; it
+    must be picklable — a module-level function or functools.partial).
+    Retries each chunk up to ``max_retries`` like the reference's recursive
+    retry (endpoints.py:416-441), then raises."""
+
+    def send_partition(rows) -> None:
+        for chunk in _chunked(rows, bulk_size):
+            payload = {
+                "method": "upsert",
+                "items": {r["item_id"]: r.asDict() for r in chunk},
+            }
+            attempt = 0
+            while True:
+                try:
+                    transport(payload)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > max_retries:
+                        raise
+                    time.sleep(backoff_s * attempt)
+
+    items.foreachPartition(send_partition)
+
+
+class FileSpoolTransport:
+    """Picklable transport that spools upsert payloads to a directory —
+    useful as a dead-letter/offline sink and for tests (executor python
+    workers can unpickle it because it lives in the package, unlike a
+    test-module closure)."""
+
+    def __init__(self, spool_dir: str, fail_first: int = 0, fail_marker: str | None = None):
+        self.spool_dir = spool_dir
+        self.fail_first = fail_first
+        self.fail_marker = fail_marker
+
+    def __call__(self, payload: dict) -> None:
+        import os
+
+        if self.fail_first:
+            marker = Path(self.fail_marker or (self.spool_dir + ".failcount"))
+            n = int(marker.read_text()) if marker.exists() else 0
+            if n < self.fail_first:
+                marker.parent.mkdir(parents=True, exist_ok=True)
+                marker.write_text(str(n + 1))
+                raise ConnectionError("synthetic transport failure")
+        out = Path(self.spool_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        keys = sorted(payload["items"].keys())
+        name = f"{os.getpid()}_{abs(hash(tuple(keys)))}.json"
+        (out / name).write_text(json.dumps(keys))
+
+
+def failed_inputs(inputs: DataFrame, produced: DataFrame, key: str) -> DataFrame:
+    """U3: inputs that yielded no output — the reference's failed-files
+    set-difference (commandapi.py:240) as a left_anti join."""
+    return inputs.join(produced.select(key).distinct(), key, "left_anti")

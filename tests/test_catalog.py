@@ -1,0 +1,102 @@
+"""Catalog sink tests: y/m/d partition layout (reference builder.py:512-519),
+deterministic collection summary (builder.py:545-555), bulk upsert retry
+(stacapi/upload.py:89-103), failed-input anti-join (commandapi.py:240)."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_catalog_builder_spark import synth
+from stac_catalog_builder_spark.operators.footprints import with_footprint
+from stac_catalog_builder_spark.operators.grouping import items_from_assets
+from stac_catalog_builder_spark.sources import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    return items_from_assets(with_footprint(synth.images(spark, SF))).limit(200)
+
+
+def test_write_items_partitioned_layout(spark, items, tmp_path):
+    out = tmp_path / "items"
+    df = items.withColumn("datetime", F.col("dt_min"))
+    catalog.write_items_partitioned(df, str(out))
+    # Hive-style year=/month=/day= directories == the reference's
+    # collection/YYYY/MM/DD layout
+    parts = sorted(str(p.relative_to(out)) for p in out.glob("year=*/month=*/day=*"))
+    assert parts, "no partition directories written"
+    assert all(p.startswith("year=200") for p in parts)
+    back = spark.read.json(str(out))
+    assert back.count() == df.count()
+
+
+def test_save_collection_deterministic(spark, items, tmp_path):
+    p1 = catalog.save_collection(items, "c1", str(tmp_path / "a"))
+    p2 = catalog.save_collection(items, "c1", str(tmp_path / "b"))
+    assert p1 == p2  # sorted links -> byte-deterministic summary
+    assert p1["item_links"] == sorted(p1["item_links"])
+    on_disk = json.loads((tmp_path / "a" / "collection.json").read_text())
+    assert on_disk["n_items"] == p1["n_items"]
+
+
+# transports live in the package (executor workers must unpickle them)
+_SPOOL = "/tmp/scb_test_upsert_spool"
+_FAIL_COUNT = "/tmp/scb_test_upsert_failfile"
+
+
+def test_upsert_items_bulk(spark, items):
+    import shutil
+
+    shutil.rmtree(_SPOOL, ignore_errors=True)
+    catalog.upsert_items_bulk(items.select("item_id"), catalog.FileSpoolTransport(_SPOOL), bulk_size=20)
+    sent = set()
+    for f in Path(_SPOOL).glob("*.json"):
+        sent.update(json.loads(f.read_text()))
+    expected = {r.item_id for r in items.select("item_id").collect()}
+    assert sent == expected
+
+
+def test_upsert_retries_then_succeeds(spark, items):
+    import shutil
+
+    shutil.rmtree(_SPOOL, ignore_errors=True)
+    if os.path.exists(_FAIL_COUNT):
+        os.remove(_FAIL_COUNT)
+    one_part = items.select("item_id").limit(30).coalesce(1)
+    catalog.upsert_items_bulk(one_part, catalog.FileSpoolTransport(_SPOOL, fail_first=2, fail_marker=_FAIL_COUNT), bulk_size=50, max_retries=5)
+    sent = set()
+    for f in Path(_SPOOL).glob("*.json"):
+        sent.update(json.loads(f.read_text()))
+    assert len(sent) == 30  # delivered despite 2 synthetic failures
+
+
+def test_upsert_raises_after_max_retries(spark, items):
+    def always_fails(payload):  # local closure is fine: raises before pickling matters
+        raise ConnectionError("down")
+
+    with pytest.raises(Exception):
+        catalog.upsert_items_bulk(
+            items.select("item_id").limit(5).coalesce(1),
+            _always_fail,
+            bulk_size=5,
+            max_retries=1,
+            backoff_s=0.0,
+        )
+
+
+def _always_fail(payload: dict) -> None:
+    raise ConnectionError("down")
+
+
+def test_failed_inputs_anti_join(spark):
+    inputs = spark.createDataFrame([(i,) for i in range(10)], "key int")
+    produced = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "key int")
+    failed = sorted(r.key for r in catalog.failed_inputs(inputs, produced, "key").collect())
+    assert failed == [1, 3, 5, 7, 9]
