@@ -302,6 +302,72 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batch 6: semi/anti joins, set ops, pivot, overlap join -----------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with any heavy lineitem."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_quantity") > 45)
+    out = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return out.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("total_cents"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no URGENT order."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / intersect / except over two derived key sets (U1/U2 + more)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.where(F.col("o_orderkey") % 3 == 0).select(F.col("o_custkey").alias("k")).distinct()
+    b = orders.where(F.col("o_orderkey") % 5 == 0).select(F.col("o_custkey").alias("k")).distinct()
+    rows = [
+        ("union", a.unionByName(b).distinct().count()),
+        ("intersect", a.intersect(b).count()),
+        ("except", a.exceptAll(b.distinct()).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n bigint")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per hour-of-day x event_type (explicit value list ->
+    no extra distinct pass at scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    piv = (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", oracles.EVENT_TYPES)
+        .count()
+    )
+    out = piv.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in oracles.EVENT_TYPES],
+    )
+    return out
+
+
+def q_footprint_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 variant: footprint-RECTANGLE x boundary overlap (not centroid) —
+    images straddling tile borders match multiple tiles."""
+    from stac_catalog_builder_spark.operators.spatial_join import spatial_join_bbox_overlap
+
+    boxes = synth.boundaries(spark, sf_dir)
+    return spatial_join_bbox_overlap(_images_fp(spark, sf_dir), boxes).select(
+        "image_id", "tile_id"
+    )
+
+
 # --- batch 2: dedup / text / similarity / relational -----------------------
 
 
@@ -470,6 +536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_extent": q_salted_extent,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "events_pivot": q_events_pivot,
+        "footprint_overlap_join": q_footprint_overlap_join,
         "image_decode_stats": q_image_decode_stats,
         "image_embedding_topk": q_image_embedding_topk,
         "dedup_exact": q_dedup_exact,
@@ -508,6 +579,11 @@ def oracle_sql() -> dict[str, str]:
         "tile_cover": oracles.sql_tile_cover(zoom=8),
         "salted_extent": oracles.sql_salted_extent(),
         # hex_cells / s2_cells: rows-only (property-tested in pytest)
+        "semi_join": oracles.sql_semi_join(),
+        "anti_join": oracles.sql_anti_join(),
+        "set_ops": oracles.sql_set_ops(),
+        "events_pivot": oracles.sql_events_pivot(),
+        "footprint_overlap_join": oracles.sql_footprint_overlap_join(),
         "dedup_exact": oracles.sql_dedup_exact(),
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),

@@ -256,6 +256,28 @@ def spatial_join_pip_udf(
     ).drop("poly_idx", "cover_cell", "is_full")
 
 
+def spatial_join_bbox_overlap(
+    images: DataFrame,
+    boxes: DataFrame,
+) -> DataFrame:
+    """Footprint-rectangle x boundary-rectangle OVERLAP join (strict
+    interiors-intersect semantics): an image straddling a tile border is
+    assigned to every tile it touches. Broadcast nested-loop with the
+    standard separating-axis predicate — pure JVM.
+
+    ``images`` needs fp_w/fp_s/fp_e/fp_n; ``boxes`` needs bbox_w/s/e/n.
+    """
+    cond = (
+        (F.col("fp_w") < boxes.bbox_e)
+        & (F.col("fp_e") > boxes.bbox_w)
+        & (F.col("fp_s") < boxes.bbox_n)
+        & (F.col("fp_n") > boxes.bbox_s)
+    )
+    return images.join(F.broadcast(boxes), cond, "inner").drop(
+        "bbox_w", "bbox_s", "bbox_e", "bbox_n"
+    )
+
+
 def spatial_join_bbox(
     images: DataFrame,
     boxes: DataFrame,

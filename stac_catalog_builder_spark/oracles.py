@@ -552,3 +552,65 @@ def sql_salted_extent() -> str:
     """Same result set as the plain per-collection extent (the salted
     two-phase rewrite is exact) — reuses the collection extent oracle."""
     return sql_extent_by_collection()
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: semi/anti joins, set ops, pivot, footprint-overlap join
+# ---------------------------------------------------------------------------
+
+def sql_semi_join() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+def sql_anti_join() -> str:
+    return """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def sql_set_ops() -> str:
+    return """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey % 5 = 0)
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'except', COUNT(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def sql_events_pivot() -> str:
+    cols = ",\n       ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+       {cols}
+FROM events
+GROUP BY 1
+"""
+
+
+def sql_footprint_overlap_join() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()}
+SELECT f.image_id, b.tile_id
+FROM fp f JOIN boundaries b
+  ON f.fp_w < b.bbox_e AND f.fp_e > b.bbox_w
+ AND f.fp_s < b.bbox_n AND f.fp_n > b.bbox_s
+"""

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the geometry/cell kernels — the
+randomized coverage the reference lacks (SURVEY.md §5: "no property-based
+testing in the reference"); these pin the invariants the engine's joins rely
+on for correctness at any input."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stac_catalog_builder_spark.functions.cells import (
+    grid_bounds_np,
+    grid_cell_np,
+    grid_parent_np,
+    hex_cell_np,
+    hex_center_np,
+    hex_kring_np,
+    s2_cell_np,
+    s2_parent_np,
+)
+from stac_catalog_builder_spark.functions.geo import (
+    haversine_np,
+    point_in_polygon_np,
+    rect_ring,
+)
+from stac_catalog_builder_spark.functions.hashes import (
+    char_shingle_hashes,
+    minhash_signature,
+    simhash64,
+)
+
+lon_st = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+lat_st = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+res_st = st.integers(min_value=5, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=res_st)
+def test_grid_cell_contains_its_point(lon, lat, res):
+    cell = grid_cell_np(np.array([lon]), np.array([lat]), res)
+    w, s, e, n = grid_bounds_np(cell)
+    assert w[0] - 1e-9 <= lon <= e[0] + 1e-9
+    assert s[0] - 1e-9 <= lat <= n[0] + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=6, max_value=12))
+def test_grid_parent_consistency(lon, lat, res):
+    child = grid_cell_np(np.array([lon]), np.array([lat]), res)
+    assert grid_parent_np(child)[0] == grid_cell_np(np.array([lon]), np.array([lat]), res - 1)[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=res_st)
+def test_hex_point_in_kring1_of_own_cell(lon, lat, res):
+    """The encode->center roundtrip never drifts more than one ring."""
+    cell = int(hex_cell_np(np.array([lon]), np.array([lat]), res)[0])
+    cx, cy = hex_center_np(np.array([cell]))
+    again = int(hex_cell_np(cx, cy, res)[0])
+    assert again == cell
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lon_st, lat=lat_st, level=st.integers(min_value=1, max_value=30))
+def test_s2_prefix_parent_everywhere(lon, lat, level):
+    child = s2_cell_np(np.array([lon]), np.array([lat]), level)
+    direct = s2_cell_np(np.array([lon]), np.array([lat]), level - 1)
+    assert s2_parent_np(child)[0] == direct[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lon1=lon_st, lat1=lat_st, lon2=lon_st, lat2=lat_st
+)
+def test_haversine_metric_properties(lon1, lat1, lon2, lat2):
+    d12 = float(haversine_np(lon1, lat1, lon2, lat2))
+    d21 = float(haversine_np(lon2, lat2, lon1, lat1))
+    assert abs(d12 - d21) < 1e-6
+    assert d12 >= 0
+    assert d12 <= np.pi * 6371000.0 + 1  # half circumference bound
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.floats(-170, 160), s=st.floats(-80, 70),
+    dw=st.floats(0.1, 20), dh=st.floats(0.1, 20),
+    fx=st.floats(0.01, 0.99), fy=st.floats(0.01, 0.99),
+)
+def test_pip_interior_point_always_inside(w, s, dw, dh, fx, fy):
+    rx, ry = rect_ring(w, s, w + dw, s + dh)
+    px = np.array([w + fx * dw])
+    py = np.array([s + fy * dh])
+    assert point_in_polygon_np(px, py, rx, ry)[0]
+    # and a point safely outside is outside
+    assert not point_in_polygon_np(np.array([w - 1.0]), py, rx, ry)[0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=st.text(min_size=0, max_size=300))
+def test_hash_kernels_total_and_deterministic(text):
+    """Kernels accept arbitrary unicode without crashing, deterministically."""
+    assert (char_shingle_hashes(text) == char_shingle_hashes(text)).all()
+    assert (minhash_signature(text) == minhash_signature(text)).all()
+    toks = text.split(" ")
+    assert simhash64(toks) == simhash64(toks)
+
+
+@settings(max_examples=50, deadline=None)
+@given(res=res_st, k=st.integers(min_value=0, max_value=4))
+def test_hex_kring_size_formula(res, k):
+    c = int(hex_cell_np(np.array([10.0]), np.array([20.0]), res)[0])
+    assert len(hex_kring_np(c, k)) == 1 + 3 * k * (k + 1)
