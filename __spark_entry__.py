@@ -368,6 +368,30 @@ def q_footprint_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P3: every asset row fetches its AssetConfig by asset_type via a
+    broadcast hash join against the tiny config dimension; unknown types are
+    dropped (inner) — reference builder.py:248-251 / config.py:198-237."""
+    cfg = spark.createDataFrame(
+        [
+            ("2m-temp-monthly", "2m temperature", "image/tiff; application=geotiff"),
+            ("tot-precip-monthly", "Total precipitation", "image/tiff; application=geotiff"),
+            ("never-produced", "unused", "application/x-unknown"),
+        ],
+        "asset_type string, title string, media_type string",
+    )
+    imgs = synth.images(spark, sf_dir)
+    return imgs.join(F.broadcast(cfg), "asset_type", "inner").select(
+        "image_id", "title", "media_type"
+    )
+
+
+def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 + O5: deterministic offset/limit slice (Spark >= 3.4 offset)."""
+    imgs = synth.images(spark, sf_dir).select("image_id", "item_id")
+    return imgs.orderBy("image_id").offset(100).limit(200)
+
+
 # --- batch 2: dedup / text / similarity / relational -----------------------
 
 
@@ -541,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "events_pivot": q_events_pivot,
         "footprint_overlap_join": q_footprint_overlap_join,
+        "config_join": q_config_join,
+        "offset_limit": q_offset_limit,
         "image_decode_stats": q_image_decode_stats,
         "image_embedding_topk": q_image_embedding_topk,
         "dedup_exact": q_dedup_exact,
@@ -584,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": oracles.sql_set_ops(),
         "events_pivot": oracles.sql_events_pivot(),
         "footprint_overlap_join": oracles.sql_footprint_overlap_join(),
+        "config_join": oracles.sql_config_join(),
+        "offset_limit": oracles.sql_offset_limit(),
         "dedup_exact": oracles.sql_dedup_exact(),
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),

@@ -614,3 +614,33 @@ FROM fp f JOIN boundaries b
   ON f.fp_w < b.bbox_e AND f.fp_e > b.bbox_w
  AND f.fp_s < b.bbox_n AND f.fp_n > b.bbox_s
 """
+
+
+def sql_config_join() -> str:
+    """J1/P3: asset-type -> asset-config broadcast lookup; unknown types
+    dropped (inner semantics, reference builder.py:191-198, 248-251)."""
+    return f"""
+WITH {IMAGES_CTE.strip()},
+asset_config AS (
+  SELECT '2m-temp-monthly' AS asset_type, '2m temperature' AS title,
+         'image/tiff; application=geotiff' AS media_type
+  UNION ALL
+  SELECT 'tot-precip-monthly', 'Total precipitation',
+         'image/tiff; application=geotiff'
+  UNION ALL
+  SELECT 'never-produced', 'unused', 'application/x-unknown'
+)
+SELECT i.image_id, c.title, c.media_type
+FROM images i JOIN asset_config c ON i.asset_type = c.asset_type
+"""
+
+
+def sql_offset_limit() -> str:
+    """P7/O5: deterministic offset/limit slice (the reference's islice
+    partial uploads, upload.py:139-154)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}
+SELECT image_id, item_id FROM images
+ORDER BY image_id
+LIMIT 200 OFFSET 100
+"""
