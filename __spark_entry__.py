@@ -368,6 +368,18 @@ def q_footprint_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (get_json_object) + aggregate over the parsed
+    field — the engine's from_json/to_json surface."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + P3: every asset row fetches its AssetConfig by asset_type via a
     broadcast hash join against the tiny config dimension; unknown types are
@@ -566,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "footprint_overlap_join": q_footprint_overlap_join,
         "config_join": q_config_join,
+        "json_extract": q_json_extract,
         "offset_limit": q_offset_limit,
         "image_decode_stats": q_image_decode_stats,
         "image_embedding_topk": q_image_embedding_topk,
@@ -611,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracles.sql_events_pivot(),
         "footprint_overlap_join": oracles.sql_footprint_overlap_join(),
         "config_join": oracles.sql_config_join(),
+        "json_extract": oracles.sql_json_extract(),
         "offset_limit": oracles.sql_offset_limit(),
         "dedup_exact": oracles.sql_dedup_exact(),
         "token_stats": oracles.sql_token_stats(),

@@ -644,3 +644,17 @@ SELECT image_id, item_id FROM images
 ORDER BY image_id
 LIMIT 200 OFFSET 100
 """
+
+
+def sql_json_extract() -> str:
+    """§2.8 JSON scalar functions: parse the events props payload, aggregate
+    the extracted field (reference analogue: to_dict/from_json round-trips,
+    builder.py:481, config.py:304-312)."""
+    return """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
