@@ -378,10 +378,11 @@ FROM ranked WHERE "rank" <= {k}
 def sql_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
-    AS sum_disc_cents,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS sum_disc_cents,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -392,8 +393,8 @@ GROUP BY l_returnflag, l_linestatus
 def sql_top_orders(limit: int = 10) -> str:
     return f"""
 SELECT l_orderkey,
-  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
-    AS revenue_cents
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -407,8 +408,8 @@ LIMIT {limit}
 def sql_revenue_by_nation() -> str:
     return """
 SELECT n_name,
-  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
-    AS revenue_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS revenue_cents,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -424,7 +425,8 @@ def sql_events_hourly() -> str:
 SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) AS sum_value_x1000,
+       CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_x1000,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -441,8 +443,8 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN gap IS NULL OR gap > {gap_minutes * 60} THEN 1 ELSE 0 END)
-         AS n_sessions,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > {gap_minutes * 60} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """
@@ -512,7 +514,8 @@ WITH slots AS (
 SELECT s.slot_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT e.user_id) AS n_users,
-       SUM(CAST(FLOOR(e.value * 1000.0 + 0.5) AS BIGINT)) AS sum_value_x1000
+       CAST(SUM(CAST(FLOOR(e.value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_x1000
 FROM events e JOIN slots s
   ON e.ts >= s.slot_start AND e.ts < s.slot_end
 GROUP BY s.slot_id
@@ -595,7 +598,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def sql_events_pivot() -> str:
     cols = ",\n       ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
         for t in EVENT_TYPES
     )
     return f"""
@@ -652,7 +655,7 @@ def sql_json_extract() -> str:
     builder.py:481, config.py:304-312)."""
     return """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events

@@ -36,8 +36,17 @@ def test_query_matches_oracle(spark, duck, name):
         n = entry_mod.queries()[name](spark, SF).count()
         assert n > 0, f"{name}: rows-only check produced 0 rows"
         return
+    rel = duck.sql(oracle[name])
+    # Driver's value hash is representation-sensitive: DuckDB HUGEINT/decimal
+    # output (e.g. uncast SUM over ints) hash-mismatches Spark bigint even
+    # when values are equal. Guard the oracle's arrow types explicitly.
+    arrow_types = {f.name: str(f.type) for f in rel.arrow().schema}
+    offending = {k: t for k, t in arrow_types.items() if "decimal" in t}
+    assert not offending, (
+        f"{name}: oracle emits decimal types {offending}; cast to BIGINT/DOUBLE"
+    )
     got = _normalize(entry_mod.queries()[name](spark, SF).toPandas())
-    want = _normalize(duck.sql(oracle[name]).df())
+    want = _normalize(rel.df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {got.columns} vs {want.columns}"
     )
