@@ -13,8 +13,28 @@ snapshot manifests + per-partition lineage the north rule requires):
 
 Resume = left_anti join of the pending work's partition keys against
 ``_lineage`` (the reference's "skip if stored" check, terracatalog.py:366-375),
-so a re-run only computes missing partitions. Exactly-once per partition comes
-from writing data first, lineage last (lineage row = commit marker).
+so a re-run only computes missing partitions.
+
+Exactly-once per partition:
+- the data write uses **dynamic partition overwrite**
+  (``spark.sql.sources.partitionOverwriteMode=dynamic`` + ``mode("overwrite")``)
+  so a crash-retry *replaces* a partially-committed partition instead of
+  appending duplicate rows;
+- ``_metrics`` and ``_lineage`` are themselves partitioned by ``part_key``
+  and written with dynamic overwrite, so every step of the commit protocol is
+  an idempotent per-partition upsert — any crash/retry interleaving converges
+  to exactly one copy of data, metrics, and lineage per partition;
+- the lineage row is written last (commit marker).
+
+Cost discipline at 100 TB: metrics/lineage derive from a *file-level
+read-back* of the partitions just written (partition-column-only scan =
+parquet footer metadata), never by re-running the upstream stage DAG — a
+naive ``df.count()``-style metrics pass would double the cost of every
+checkpointed write.
+
+Partition keys round-trip as **strings** (their Hive directory form);
+partition-column type inference is disabled on read so keys are stable and
+engine-independent.
 """
 
 from __future__ import annotations
@@ -25,6 +45,36 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+def _dynamic_overwrite(df: DataFrame, path: Path, part_col: str) -> None:
+    """Partition-scoped idempotent upsert: overwrite ONLY the partitions
+    present in ``df``, leave all others untouched."""
+    spark = df.sparkSession
+    prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+    spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(str(path))
+    finally:
+        spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+
+
+def _read_keyed(spark: SparkSession, path: Path) -> DataFrame:
+    """Read a part_key-partitioned table with type inference OFF, so the
+    partition key always comes back as the string written in the dir name."""
+    prev = spark.conf.get(_INFER_KEY, "true")
+    spark.conf.set(_INFER_KEY, "false")
+    try:
+        return spark.read.parquet(str(path))
+    finally:
+        spark.conf.set(_INFER_KEY, prev)
+
+
+def _has_parquet(p: Path) -> bool:
+    return any(p.glob("*.parquet")) or any(p.glob("**/*.parquet"))
 
 
 class SnapshotStore:
@@ -38,6 +88,9 @@ class SnapshotStore:
     def _stage(self, stage: str) -> Path:
         return self.root / stage
 
+    def _data_path(self, stage: str) -> Path:
+        return self._stage(stage) / "data"
+
     def _lineage_path(self, stage: str) -> Path:
         return self._stage(stage) / "_lineage"
 
@@ -50,45 +103,80 @@ class SnapshotStore:
     # -- lineage ------------------------------------------------------------
     def completed_partitions(self, spark: SparkSession, stage: str) -> DataFrame | None:
         p = self._lineage_path(stage)
-        if not any(p.glob("*.parquet")) and not any(p.glob("**/*.parquet")):
+        if not _has_parquet(p):
             return None
-        return spark.read.parquet(str(p))
+        return _read_keyed(spark, p)
+
+    def _committed_keys(self, spark: SparkSession, stage: str) -> set[str]:
+        done = self.completed_partitions(spark, stage)
+        if done is None:
+            return set()
+        return {r.part_key for r in done.select("part_key").distinct().collect()}
 
     def pending(self, work: DataFrame, spark: SparkSession, stage: str, key: str) -> DataFrame:
-        """Anti-join the work set against completed lineage (J7)."""
+        """Anti-join the work set against completed lineage (J7). Keys are
+        compared in string form (their partition-directory identity)."""
         done = self.completed_partitions(spark, stage)
         if done is None:
             return work
+        done_keys = done.select(
+            F.col("part_key").cast("string").alias("__done_key")
+        ).distinct()
         return work.join(
-            done.select(F.col("part_key").alias(key)).distinct(), key, "left_anti"
+            done_keys, work[key].cast("string") == F.col("__done_key"), "left_anti"
         )
 
     # -- write --------------------------------------------------------------
     def write_stage(
         self, df: DataFrame, stage: str, part_col: str, snapshot_note: str = ""
     ) -> dict:
-        """Write a stage partitioned by ``part_col``; commit lineage+metrics+
-        snapshot after the data lands (data-first = resumable on failure)."""
+        """Write a stage partitioned by ``part_col`` with exactly-once
+        per-partition semantics (see module docstring for the protocol)."""
         spark = df.sparkSession
-        data_path = self._stage(stage) / "data"
-        df.write.mode("append").partitionBy(part_col).parquet(str(data_path))
+        already = self._committed_keys(spark, stage)
 
-        metrics = (
-            df.groupBy(F.col(part_col).alias("part_key"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .withColumn("stage", F.lit(stage))
+        # 1. data: dynamic partition overwrite (idempotent on crash-retry)
+        _dynamic_overwrite(df, self._data_path(stage), part_col)
+
+        # 2. partitions just landed = on-disk keys minus committed lineage —
+        #    a driver-side directory listing, zero Spark jobs.
+        on_disk = sorted(
+            p.name.split("=", 1)[1]
+            for p in self._data_path(stage).glob(f"{part_col}=*")
+            if p.is_dir()
         )
-        metrics.write.mode("append").parquet(str(self._metrics_path(stage)))
-        lineage = metrics.select("part_key").distinct().withColumn(
-            "stage", F.lit(stage)
-        )
-        lineage.write.mode("append").parquet(str(self._lineage_path(stage)))
+        new_keys = [k for k in on_disk if k not in already]
+
+        # 3. metrics from a file-level read-back of only the new partitions
+        #    (partition column scan = parquet metadata, NOT an upstream
+        #    recomputation of df's DAG).
+        mrows: list[tuple[str, int]] = []
+        if new_keys:
+            readback = _read_keyed(spark, self._data_path(stage))
+            counts = (
+                readback.where(F.col(part_col).isin(new_keys))
+                .groupBy(F.col(part_col).alias("part_key"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .collect()
+            )
+            mrows = [(r.part_key, r.n_rows) for r in counts]
+            metrics_df = spark.createDataFrame(
+                [(k, n, stage) for k, n in mrows],
+                "part_key string, n_rows bigint, stage string",
+            )
+            _dynamic_overwrite(metrics_df, self._metrics_path(stage), "part_key")
+
+            # 4. lineage last = commit marker (also an idempotent upsert)
+            lineage_df = spark.createDataFrame(
+                [(k, stage) for k, _ in mrows], "part_key string, stage string"
+            )
+            _dynamic_overwrite(lineage_df, self._lineage_path(stage), "part_key")
 
         snap = {
             "ts": time.time(),
             "stage": stage,
             "note": snapshot_note,
-            "partitions": [r.part_key for r in lineage.select("part_key").collect()],
+            "partitions": [k for k, _ in mrows] if mrows else new_keys,
         }
         with open(self._snapshots_path(stage), "a") as f:
             f.write(json.dumps(snap, default=str) + "\n")
@@ -96,10 +184,10 @@ class SnapshotStore:
 
     # -- read ---------------------------------------------------------------
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(str(self._stage(stage) / "data"))
+        return _read_keyed(spark, self._data_path(stage))
 
     def metrics(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(str(self._metrics_path(stage)))
+        return _read_keyed(spark, self._metrics_path(stage))
 
     def snapshots(self, stage: str) -> list[dict]:
         p = self._snapshots_path(stage)

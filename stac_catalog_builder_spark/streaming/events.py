@@ -80,11 +80,20 @@ def run_foreach_batch_to_store(
     spark: SparkSession, src_path: str, store, stage: str = "stream_rollup"
 ) -> None:
     """Exactly-once sink: each micro-batch lands in the SnapshotStore with
-    lineage rows (foreachBatch + idempotent partition commit)."""
+    lineage rows. foreachBatch retries an epoch on failure — two guards make
+    the sink exactly-once anyway: (1) epochs already committed to lineage are
+    skipped up front; (2) the store's dynamic-partition-overwrite commit makes
+    a replay of a half-written epoch replace, not append."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        done = store.completed_partitions(spark, stage)
+        if done is not None and (
+            done.where(F.col("part_key") == F.lit(str(int(epoch_id)))).limit(1).count()
+            > 0
+        ):
+            return  # epoch replayed after a successful commit: no-op
         store.write_stage(
             batch_df.withColumn("part_key", F.lit(int(epoch_id))),
             stage,

@@ -68,6 +68,39 @@ def test_run_resumable_computes_only_missing(spark, store):
     assert calls[1] == ["4"]
 
 
+def test_crash_retry_is_exactly_once(spark, store):
+    """Simulate a crash between the data write and the lineage commit: the
+    partition's data is on disk but lineage is missing. The retry must
+    REPLACE the partition (dynamic partition overwrite), not append — the
+    documented exactly-once-per-partition guarantee."""
+    from stac_catalog_builder_spark.sources.checkpoint import _dynamic_overwrite
+
+    df = spark.createDataFrame(
+        [("1", i) for i in range(10)], "part_key string, v int"
+    )
+    # crash: data landed (possibly partially), lineage never written
+    _dynamic_overwrite(df, store._data_path("s5"), "part_key")
+    assert store.completed_partitions(spark, "s5") is None
+
+    calls = []
+
+    def compute(keys_df):
+        calls.append(sorted(r.part_key for r in keys_df.collect()))
+        return df
+
+    work = _work(spark, ["1"])
+    out = run_resumable(store, spark, "s5", work, "part_key", compute)
+    assert calls == [["1"]]  # resume recomputed the uncommitted partition
+    assert out.count() == 10  # ...and replaced, not appended (not 20)
+
+    # second retry after the successful commit: a pure no-op
+    out2 = run_resumable(store, spark, "s5", work, "part_key", compute)
+    assert len(calls) == 1
+    assert out2.count() == 10
+    m = {r.part_key: r.n_rows for r in store.metrics(spark, "s5").collect()}
+    assert m == {"1": 10}  # metrics committed exactly once too
+
+
 def test_snapshot_log_appends(spark, store):
     df = spark.range(4).select(
         F.lit("a").alias("part_key"), F.col("id").alias("v")
