@@ -6,15 +6,28 @@ Two implementations with identical results:
   set is small (a dimension table); it rides to every task. Each Arrow batch
   computes a (Q x B) haversine matrix in numpy and emits only the per-query
   top-k *of that batch* — so the shuffle carries at most
-  ``num_batches * Q * k`` rows regardless of input size (linear scan, no
-  crossJoin materialization; at 100 TB this is a single pass over the fact
-  table). A final window rank merges the partials exactly.
+  ``num_batches * Q * k`` rows (plus exact distance ties) regardless of input
+  size (linear scan, no crossJoin materialization; at 100 TB this is a single
+  pass over the fact table). A final window rank merges the partials exactly.
+  Ties at the k-th distance are all emitted from the partial stage, so the
+  deterministic (dist_m, image_id) final ordering can never lose the winner
+  to an arbitrary argpartition choice.
 
-- ``knn_join_cellring``: hex-cell ring expansion (H3-like k-ring, SURVEY.md
-  §2.3 J5) — prunes the scan to candidate cells, iterating rings until the
-  k-th distance is provably inside the ring radius (lower bound:
-  ``(r-1) * hex_min_width``). Exact, and at scale touches only a tiny
-  fraction of the data when a cell index column is available.
+- ``knn_join_cellring``: hex-cell pruned kNN (H3-like k-ring, SURVEY.md §2.3
+  J5) in ONE shot: every query's k-ring is exploded to (cell, query_id) rows
+  driver-side (dimension-sized), broadcast-joined against the fact table's
+  cell column, and window-ranked. A query's result is provably exact when its
+  k-th candidate distance is below the haversine lower bound of leaving the
+  ring; the (usually empty) remainder falls back to one ``knn_join`` pass.
+  No driver-side ring loop, no per-ring ``.toPandas()`` — two Spark jobs max.
+
+The haversine lower bound per planar degree is computed from the *actual*
+latitude domain of the data: ``cos(max|lat|)`` for longitude shrink times
+``2/pi`` for the ``sin(x) <= x`` compression of the haversine longitude term
+— a true lower bound at any latitude (the previous fixed 0.5 margin was only
+valid below 60°). Queries whose ring approaches the antimeridian or a pole
+(where planar hex geometry stops bounding great-circle distance) are always
+routed to the exact fallback.
 
 The reference has no kNN; its closest machinery is per-group ordering
 (stacbuilder/metadata.py:510-532). Rank semantics: ties broken by image_id,
@@ -30,10 +43,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import hex_cell_np, hex_kring_np, hex_min_width_deg
+from ..functions.cells import hex_cell_np, hex_cell_udf, hex_kring_np, hex_min_width_deg, hex_size
 from ..functions.geo import haversine_np
 
 _OUT_SCHEMA = "query_id string, image_id string, dist_m double"
+_METERS_PER_DEG_LAT = 111194.9  # pi * 6371000 / 180
 
 
 def _partial_topk_gen(queries_pdf: pd.DataFrame, k: int):
@@ -51,13 +65,18 @@ def _partial_topk_gen(queries_pdf: pd.DataFrame, k: int):
             # (Q, B) distance matrix — vectorized, no per-row Python
             d = haversine_np(lon[None, :], lat[None, :], q_lon[:, None], q_lat[:, None])
             kk = min(k, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            rows = {
-                "query_id": np.repeat(q_ids, kk),
-                "image_id": ids[part.ravel()],
-                "dist_m": np.take_along_axis(d, part, axis=1).ravel(),
-            }
-            yield pd.DataFrame(rows)
+            # emit EVERY row tied at the k-th distance: an argpartition pick
+            # among bitwise-equal distances would be arbitrary and could drop
+            # the image_id the deterministic final ordering keeps
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            qi, bi = np.nonzero(d <= kth[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "image_id": ids[bi],
+                    "dist_m": d[qi, bi],
+                }
+            )
 
     return gen
 
@@ -80,69 +99,100 @@ def knn_join(images: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
 
 
-def knn_join_cellring(
-    images: DataFrame, queries: DataFrame, k: int, res: int = 7
-) -> DataFrame:
-    """Exact kNN via hex-cell ring expansion.
+def _haversine_udf():
+    @F.pandas_udf("double")
+    def hav(
+        lon: pd.Series, lat: pd.Series, qlon: pd.Series, qlat: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            haversine_np(
+                lon.to_numpy(), lat.to_numpy(), qlon.to_numpy(), qlat.to_numpy()
+            )
+        )
 
-    Requires/derives a hex cell column at ``res`` on the fact side; then for
-    growing ring radius r, joins images whose cell is in the union of every
-    query's r-ring (a broadcast IN-set), ranks, and stops when each query's
-    k-th neighbor distance <= the guaranteed minimum distance to any point
-    outside its r-ring. Falls back to the full scan for queries that exhaust
-    the max radius (near-empty regions).
+    return hav
+
+
+def knn_join_cellring(
+    images: DataFrame, queries: DataFrame, k: int, res: int = 7, ring_radius: int = 8
+) -> DataFrame:
+    """Exact kNN via a one-shot hex-cell ring broadcast join.
+
+    Plan: (1) fact rows gain a hex cell id at ``res`` (at production scale
+    this is a precomputed table column and the scan prunes on it); (2) the
+    union of every query's ``ring_radius``-ring — a dimension-sized
+    (cell, query_id) table — broadcast-equi-joins the fact side; (3) one
+    window ranks candidates per query. A query is *provably* complete when it
+    has >= k candidates and its k-th distance is within the haversine lower
+    bound of leaving its ring; the remaining queries (sparse regions,
+    antimeridian/pole edge cases) are answered by ONE exact ``knn_join``
+    fallback pass. Results are identical to ``knn_join`` (same oracle).
     """
+    spark = images.sparkSession
     queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
-    q_cells = hex_cell_np(
-        queries_pdf["qlon"].to_numpy(), queries_pdf["qlat"].to_numpy(), res
+    q_lon = queries_pdf["qlon"].to_numpy()
+    q_lat = queries_pdf["qlat"].to_numpy()
+    q_cells = hex_cell_np(q_lon, q_lat, res)
+
+    # provable meters-per-planar-degree lower bound over the joint lat domain
+    max_abs_lat_row = images.agg(F.max(F.abs(F.col("lat")))).first()[0]
+    max_abs_lat = max(float(max_abs_lat_row or 0.0), float(np.abs(q_lat).max()))
+    shrink = max(np.cos(np.radians(min(max_abs_lat, 89.9))) * (2.0 / np.pi), 1e-6)
+    min_width_m = hex_min_width_deg(res) * _METERS_PER_DEG_LAT * shrink
+    bound_m = (ring_radius - 1) * min_width_m
+
+    # planar hex geometry does not bound great-circle distance across the
+    # antimeridian or near a pole: those queries go straight to the fallback
+    ring_deg = (ring_radius + 2) * 2.0 * hex_size(res)
+    edge_unsafe = (np.abs(q_lon) > 180.0 - ring_deg) | (
+        np.abs(q_lat) > 90.0 - ring_deg
     )
-    # conservative: 1 deg latitude = 111,194.9 m; lon shrink <= 1 anyway
-    meters_per_deg = 111194.9
-    min_width_m = hex_min_width_deg(res) * meters_per_deg * 0.5  # lon-shrink margin
+
+    pairs: list[tuple[str, int]] = []
+    for i, qid in enumerate(queries_pdf["query_id"]):
+        if edge_unsafe[i]:
+            continue
+        pairs.extend((qid, int(c)) for c in hex_kring_np(int(q_cells[i]), ring_radius))
+    ring_df = spark.createDataFrame(pairs, "query_id string, cell bigint")
+    qdim = spark.createDataFrame(queries_pdf)
 
     fact = images.select(
         "image_id",
         "lon",
         "lat",
-        F.pandas_udf(  # hex cell of each image, Arrow-batched
-            lambda lo, la: pd.Series(hex_cell_np(lo.to_numpy(), la.to_numpy(), res)),
-            "bigint",
-        )(F.col("lon"), F.col("lat")).alias("cell"),
+        hex_cell_udf(res)(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    cand = fact.join(F.broadcast(ring_df), "cell").join(F.broadcast(qdim), "query_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("image_id"))
+    ranked = (
+        cand.withColumn(
+            "dist_m",
+            _haversine_udf()(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "image_id", "dist_m")
+        .persist()
     )
 
-    pending = dict(zip(queries_pdf["query_id"], range(len(queries_pdf))))
-    results: list[pd.DataFrame] = []
-    r = 1
-    max_r = 64
-    while pending and r <= max_r:
-        cells = set()
-        for qid in pending:
-            i = pending[qid]
-            cells.update(int(c) for c in hex_kring_np(int(q_cells[i]), r))
-        sub_q = queries_pdf[queries_pdf["query_id"].isin(pending)]
-        cand = fact.where(F.col("cell").isin(list(cells)))
-        topk = (
-            cand.mapInPandas(_partial_topk_gen(sub_q, k), schema=_OUT_SCHEMA)
-            .toPandas()
-        )
-        done = []
-        for qid in list(pending):
-            mine = (topk[topk["query_id"] == qid]
-                    .sort_values(["dist_m", "image_id"]).head(k))
-            if len(mine) >= k and mine["dist_m"].iloc[-1] <= (r - 1) * min_width_m:
-                results.append(mine)
-                done.append(qid)
-        for qid in done:
-            del pending[qid]
-        r *= 2
-    if pending:  # sparse regions: exact fallback over the full table
-        sub_q = queries_pdf[queries_pdf["query_id"].isin(pending)]
-        topk = fact.mapInPandas(_partial_topk_gen(sub_q, k), schema=_OUT_SCHEMA).toPandas()
-        for qid in pending:
-            results.append(
-                topk[topk["query_id"] == qid].sort_values(["dist_m", "image_id"]).head(k)
-            )
-    out = pd.concat(results, ignore_index=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    spark = images.sparkSession
-    return spark.createDataFrame(out[["query_id", "rank", "image_id", "dist_m"]])
+    # per-query completeness stats: dimension-sized collect (Q rows)
+    stats = {
+        r.query_id: (r.n, r.kth)
+        for r in ranked.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("kth"))
+        .collect()
+    }
+    satisfied = [
+        qid
+        for i, qid in enumerate(queries_pdf["query_id"])
+        if not edge_unsafe[i]
+        and stats.get(qid, (0, float("inf")))[0] >= k
+        and stats[qid][1] <= bound_m
+    ]
+    pending = [q for q in queries_pdf["query_id"] if q not in set(satisfied)]
+
+    done = ranked.where(F.col("query_id").isin(satisfied)) if satisfied else None
+    if pending:
+        fallback = knn_join(images, queries.where(F.col("query_id").isin(pending)), k)
+        return done.unionByName(fallback) if done is not None else fallback
+    return done
