@@ -436,18 +436,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairing by exploded key sequence (equi-join — a band/theta
+    condition would plan as a BroadcastNestedLoopJoin, O(N^2) at scale), then
+    exact Jaccard verification. The scaled score is computed in ONE IEEE
+    expression ((n*1000)/d, matching the oracle's operation order exactly)
+    rather than scaling a pre-divided ratio."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.doc_id") > F.col("a.doc_id"))
-        & (F.col("b.doc_id") <= F.col("a.doc_id") + 3),
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    jac = dedup.ngram_jaccard(pairs, docs)
+    ids = docs.select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.col("doc_id") + 3)).alias("id_b"),
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    jac = dedup.ngram_jaccard(pairs.select("id_a", "id_b"), docs)
     return jac.select(
         "id_a",
         "id_b",
-        F.floor(F.col("jaccard") * 1000.0 + 0.5).cast("bigint").alias("jac_x1000"),
+        F.floor(F.col("n_inter") * 1000.0 / F.col("n_union") + 0.5)
+        .cast("bigint")
+        .alias("jac_x1000"),
     )
 
 
@@ -488,6 +494,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.floor(F.col("cosine") * 1000000.0 + 0.5).cast("bigint").alias("cos_x1e6"),
     )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: multi-table hyperplane-LSH ANN (recall floor vs the exact
+    oracle is pytest-asserted in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ann_lsh_topk(emb, qs, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF coarse-quantized ANN (probes nprobe/n_centroids of the
+    corpus; recall floor pytest-asserted)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(emb, qs, k=5).select("query_id", "rank", "neighbor_id")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,

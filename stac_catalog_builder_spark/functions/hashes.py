@@ -12,8 +12,6 @@ equi-joins, not in Python.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
 MERSENNE31 = (1 << 31) - 1  # modulus: products of two <2^31 values fit int64
@@ -64,26 +62,26 @@ def minhash_bands(sig: np.ndarray, bands: int) -> np.ndarray:
 
 
 def token_hash64(token: str) -> int:
-    """Stable 64-bit token hash (blake2b truncation)."""
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8", "ignore"), digest_size=8).digest(),
-        "big",
-        signed=True,
+    """Stable 64-bit token hash (vectorizable polynomial + splitmix64 mix —
+    the same kernel the batch SimHash uses)."""
+    return int(
+        np.asarray(_batch_token_hash64([token.encode("utf-8", "ignore")])).view(
+            np.int64
+        )[0]
     )
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token list: sign of per-bit weight sums."""
+    """64-bit SimHash over a token list: sign of per-bit weight sums.
+    Single-doc wrapper of the batch kernel (identical values)."""
     if not tokens:
         return 0
-    hs = np.array([token_hash64(t) for t in tokens], dtype=np.int64).view(np.uint64)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    weights = np.where(bits == 1, 1, -1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if weights[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    hs = _batch_token_hash64([t.encode("utf-8", "ignore") for t in tokens])
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    weights = (2 * bits - 1).sum(axis=0)
+    packed = ((weights > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return int(np.asarray([packed], dtype=np.uint64).view(np.int64)[0])
 
 
 def hamming64(a: int, b: int) -> int:
@@ -94,6 +92,173 @@ def rolling_fingerprint(text: str, k: int = 8) -> int:
     """Document fingerprint: minimum k-gram rolling hash (1-perm MinHash) —
     stable under small edits away from the minimizing window."""
     return int(char_shingle_hashes(text, k).min())
+
+
+# ---------------------------------------------------------------------------
+# Batch (whole-Arrow-batch) kernels: one numpy pass over ALL documents of a
+# batch — no per-document Python in the UDF hot path. Values are identical to
+# the per-document functions above (same int64 arithmetic, and min/fold are
+# order-independent), which the tests assert.
+# ---------------------------------------------------------------------------
+
+
+def _pack_texts(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate utf-8 bytes of all texts (each padded to >= k with spaces,
+    like ``char_shingle_hashes``); -> (packed int64 bytes, per-doc lengths)."""
+    bufs: list[bytes] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8", "ignore")
+        if len(raw) < k:
+            raw = raw + b" " * (k - len(raw))
+        bufs.append(raw)
+        lens[i] = len(raw)
+    packed = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    return packed, lens
+
+
+def batch_shingle_hashes(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """k-gram hashes for ALL texts in one vectorized pass.
+
+    Returns (hashes, n_per_doc): hashes are grouped contiguously per doc
+    (duplicates included — irrelevant for min-based consumers). One sliding
+    window over the packed byte array; windows straddling document boundaries
+    are dropped by position arithmetic, never per-doc Python.
+    """
+    if not texts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    packed, lens = _pack_texts(texts, k)
+    win = np.lib.stride_tricks.sliding_window_view(packed, k)
+    powers = np.array(
+        [pow(SHINGLE_BASE, k - 1 - i, MERSENNE31) for i in range(k)], dtype=np.int64
+    )
+    h = (win * powers).sum(axis=1) % MERSENNE31
+    n_win = lens - (k - 1)
+    starts = np.cumsum(lens) - lens
+    total = int(n_win.sum())
+    out_off = np.repeat(np.cumsum(n_win) - n_win, n_win)
+    within = np.arange(total, dtype=np.int64) - out_off
+    pos = np.repeat(starts, n_win) + within
+    return h[pos], n_win
+
+
+def batch_minhash_sigs(
+    texts: list[str],
+    k: int = 5,
+    num_perm: int = NUM_PERM,
+    shingle_budget: int = 1 << 19,
+) -> np.ndarray:
+    """MinHash signatures for a whole batch: segmented min via
+    ``np.minimum.reduceat`` over the packed shingle array, doc-chunked so the
+    transient (shingles x num_perm) slab stays under ~256 MB."""
+    if not texts:
+        return np.zeros((0, num_perm), dtype=np.int64)
+    sh, n_win = batch_shingle_hashes(texts, k)
+    seg = np.cumsum(n_win) - n_win
+    out = np.empty((len(texts), num_perm), dtype=np.int64)
+    d0 = 0
+    n = len(texts)
+    while d0 < n:
+        d1 = d0 + 1
+        budget_end = seg[d0] + shingle_budget
+        while d1 < n and seg[d1] + n_win[d1] <= budget_end:
+            d1 += 1
+        s0, s1 = int(seg[d0]), int(seg[d1 - 1] + n_win[d1 - 1])
+        vals = (
+            sh[s0:s1, None] * MINHASH_A[None, :num_perm] + MINHASH_B[None, :num_perm]
+        ) % MERSENNE31
+        out[d0:d1] = np.minimum.reduceat(vals, seg[d0:d1] - s0, axis=0)
+        d0 = d1
+    return out
+
+
+def batch_minhash_bands(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Band-bucket keys for a (N, num_perm) signature matrix — the fold over
+    rows-per-band runs as ``rows`` vector ops, not a per-doc Python loop.
+    Values identical to ``minhash_bands`` per row."""
+    n, p = sigs.shape
+    rows = p // bands
+    resh = sigs.reshape(n, bands, rows)
+    acc = np.broadcast_to(np.arange(1, bands + 1, dtype=np.int64), (n, bands)).copy()
+    for i in range(rows):
+        acc = (acc * SHINGLE_BASE + resh[:, :, i]) % MERSENNE31
+    return acc + np.arange(bands, dtype=np.int64)[None, :] * MERSENNE31
+
+
+def batch_rolling_fingerprint(texts: list[str], k: int = 8) -> np.ndarray:
+    """Per-doc min k-gram hash for a whole batch (== rolling_fingerprint)."""
+    if not texts:
+        return np.zeros(0, np.int64)
+    sh, n_win = batch_shingle_hashes(texts, k)
+    seg = np.cumsum(n_win) - n_win
+    return np.minimum.reduceat(sh, seg)
+
+
+_SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche bit diffusion for the polynomial
+    token hash (vectorized uint64, wrapping arithmetic)."""
+    z = (z + _SPLITMIX_C1).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C2
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C3
+    return z ^ (z >> np.uint64(31))
+
+
+def _batch_token_hash64(tokens: list[bytes]) -> np.ndarray:
+    """64-bit hash per token, vectorized: Horner polynomial over byte
+    positions (max-token-length iterations of whole-array ops) + splitmix64
+    finalizer. Replaces per-token blake2b (which forced a Python loop)."""
+    if not tokens:
+        return np.zeros(0, np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8).astype(np.uint64)
+    starts = np.cumsum(lens) - lens
+    acc = np.full(len(tokens), np.uint64(1469598103934665603), dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    maxlen = int(lens.max()) if len(lens) else 0
+    old = np.seterr(over="ignore")
+    try:
+        for p in range(maxlen):
+            m = lens > p
+            acc[m] = acc[m] * base + flat[starts[m] + p]
+        return _mix64(acc)
+    finally:
+        np.seterr(**old)
+
+
+def batch_simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text (whitespace tokens) for a whole batch:
+    token hashes -> per-doc bit-weight sums via ``np.add.reduceat`` -> sign
+    bits. Doc-chunked to bound the (tokens x 64) transient."""
+    if not texts:
+        return np.zeros(0, np.int64)
+    token_lists = [(t or "").split(" ") for t in texts]
+    n_tok = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=len(texts))
+    all_tokens = [w.encode("utf-8", "ignore") for tl in token_lists for w in tl]
+    hs = _batch_token_hash64(all_tokens)
+    seg = np.cumsum(n_tok) - n_tok
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    budget = 1 << 19
+    d0 = 0
+    while d0 < len(texts):
+        d1 = d0 + 1
+        budget_end = seg[d0] + budget
+        while d1 < len(texts) and seg[d1] + n_tok[d1] <= budget_end:
+            d1 += 1
+        s0, s1 = int(seg[d0]), int(seg[d1 - 1] + n_tok[d1 - 1])
+        bits = ((hs[s0:s1, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        weights = np.add.reduceat(2 * bits - 1, seg[d0:d1] - s0, axis=0)
+        packed = (
+            (weights > 0).astype(np.uint64) << shifts[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[d0:d1] = packed.view(np.int64)
+        d0 = d1
+    return out
 
 
 def hyperplane_sketch(vecs: np.ndarray, n_planes: int = 16, seed: int = 7) -> np.ndarray:

@@ -27,12 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashes import (
-    NUM_PERM,
+    batch_minhash_bands,
+    batch_minhash_sigs,
+    batch_rolling_fingerprint,
+    batch_simhash64,
     hyperplane_sketch,
-    minhash_bands,
-    minhash_signature,
-    rolling_fingerprint,
-    simhash64,
 )
 
 
@@ -48,42 +47,88 @@ def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 
 def with_minhash(df: DataFrame, text_col: str = "text", bands: int = 16) -> DataFrame:
-    """Add minhash band-bucket keys (array) — Arrow-batched, no per-row Python
-    at the Spark level (numpy per doc inside the batch)."""
+    """Add minhash band-bucket keys (array) — one vectorized numpy pass per
+    Arrow batch (packed-shingle sliding window + segmented min), zero
+    per-document Python."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bandkeys(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: minhash_bands(minhash_signature(t or ""), bands).tolist()
-        )
+        keys = batch_minhash_bands(batch_minhash_sigs(texts.tolist()), bands)
+        return pd.Series(list(keys))
 
     return df.withColumn("band_keys", bandkeys(F.col(text_col)))
 
 
+def _exact_collapse(
+    df: DataFrame, key_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts to one representative (min key).
+
+    -> (reps, star_pairs): ``reps`` has one row per distinct text;
+    ``star_pairs`` links each representative to its other group members
+    (id_a=rep < id_b=member). Star expansion preserves duplicate-group
+    connectivity with O(group) rows instead of the O(group^2) an LSH bucket
+    of identical texts would emit — THE hot-bucket pathology at 100 TB.
+    """
+    hashed = df.select(key_col, text_col, F.md5(F.col(text_col)).alias("_ch"))
+    reps_key = hashed.groupBy("_ch").agg(F.min(key_col).alias("_rep"))
+    members = hashed.join(reps_key, "_ch")
+    star = members.where(F.col(key_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
+    )
+    reps = members.where(F.col(key_col) == F.col("_rep")).select(key_col, text_col)
+    return reps, star
+
+
+def _salt_hot_buckets(
+    bucketed: DataFrame, key_col: str, max_bucket: int
+) -> DataFrame:
+    """Split buckets larger than ``max_bucket`` into deterministic salted
+    sub-buckets (pairs survive only within a sub-bucket). One counting pass
+    finds the oversized buckets; the (small) list broadcasts back. Bounds
+    within-bucket pair output at O(n * max_bucket) instead of O(n^2). The
+    split is observable, not silent: callers can diff candidate counts, and
+    exact duplicates never reach here (collapsed upstream)."""
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    over = sizes.where(F.col("_bn") > max_bucket)
+    out = bucketed.join(F.broadcast(over), "bucket", "left")
+    salt = F.when(F.col("_bn").isNull(), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col(key_col)), F.ceil(F.col("_bn") / max_bucket))
+    )
+    return out.withColumn("salt", salt.cast("int")).drop("_bn")
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", bands: int = 16
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing >=1 band bucket.
 
-    Plan shape: explode(band_keys) -> self equi-join on the bucket ->
-    distinct pair. The shuffle key is the band bucket (small), never the
-    text; skewed buckets (boilerplate-heavy corpora) are handled by AQE
-    skew-join since this is a plain equi-join.
+    100 TB shape: (1) exact-duplicate collapse first — identical texts (the
+    classic boilerplate bucket) contribute star pairs, never quadratic bucket
+    pairs; (2) explode(band_keys) -> self equi-join on the bucket over
+    *distinct* texts only; (3) buckets still larger than ``max_bucket`` are
+    salted into sub-buckets, capping within-bucket blowup (AQE skew-join
+    splits the shuffle but NOT the O(b^2) pair output — this does).
     """
-    b = (
-        with_minhash(df.select(key_col, text_col), text_col, bands)
-        .select(key_col, F.explode("band_keys").alias("bucket"))
+    reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
+    b = with_minhash(reps, text_col, bands).select(
+        key_col, F.explode("band_keys").alias("bucket")
     )
+    b = _salt_hot_buckets(b, key_col, max_bucket)
     left = b.alias("l")
     right = b.alias("r")
-    return (
-        left.join(right, "bucket")
+    rep_pairs = (
+        left.join(right, ["bucket", "salt"])
         .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
         .select(
             F.col(f"l.{key_col}").alias("id_a"), F.col(f"r.{key_col}").alias("id_b")
         )
-        .distinct()
     )
+    return rep_pairs.unionByName(star).distinct()
 
 
 def ngram_jaccard(
@@ -102,6 +147,8 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            F.size(F.array_union("toks_a", "toks_b")).alias("n_union"),
             (
                 F.size(F.array_intersect("toks_a", "toks_b"))
                 / F.size(F.array_union("toks_a", "toks_b"))
@@ -113,18 +160,24 @@ def ngram_jaccard(
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64((t or "").split(" ")))
+        return pd.Series(batch_simhash64(texts.tolist()))
 
     return df.withColumn("simhash", sh(F.col(text_col)))
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance <= 3: by pigeonhole, such
     pairs agree exactly on >=1 of the 4 16-bit blocks -> equi-join per block,
-    verify with bit_count (JVM)."""
-    sh = with_simhash(df.select(key_col, text_col), text_col).select(key_col, "simhash")
+    verify with bit_count (JVM). Same 100 TB guards as minhash: exact
+    duplicates are collapsed to star pairs (hamming 0 by definition) before
+    the block join, and oversized (blk, val) buckets are salted."""
+    reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
+    sh = with_simhash(reps, text_col).select(key_col, "simhash")
     blocks = sh.select(
         key_col,
         "simhash",
@@ -139,10 +192,15 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(key_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select(
+        key_col,
+        "simhash",
+        (F.col("b.blk").cast("bigint") * F.lit(65536) + F.col("b.val")).alias("bucket"),
+    )
+    blocks = _salt_hot_buckets(blocks, key_col, max_bucket)
     l, r = blocks.alias("l"), blocks.alias("r")
-    return (
-        l.join(r, ["blk", "val"])
+    rep_pairs = (
+        l.join(r, ["bucket", "salt"])
         .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
         .select(
             F.col(f"l.{key_col}").alias("id_a"),
@@ -152,16 +210,18 @@ def simhash_candidate_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
-        .distinct()
     )
+    return rep_pairs.unionByName(
+        star.withColumn("hamming", F.lit(0).cast("int"))
+    ).distinct()
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rolling-hash document fingerprint (min 8-gram hash)."""
+    """Rolling-hash document fingerprint (min 8-gram hash), batch-vectorized."""
 
     @F.pandas_udf(T.LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: rolling_fingerprint(t or ""))
+        return pd.Series(batch_rolling_fingerprint(texts.tolist()))
 
     return df.withColumn("fingerprint", fp(F.col(text_col)))
 

@@ -48,6 +48,48 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _leftfold_sq(m: np.ndarray) -> np.ndarray:
+    """sum of squares per row with the SAME left-fold op order as
+    ``F.aggregate``/DuckDB ``list_reduce`` (((0+v1^2)+v2^2)+...) — vectorized
+    across rows, sequential over dims, so every double is bit-identical."""
+    acc = np.zeros(m.shape[0])
+    for d in range(m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return acc
+
+
+def _cosine_partial_topk_gen(
+    qids: np.ndarray, qm: np.ndarray, key_col: str, vec_col: str, k: int
+):
+    qn = np.sqrt(_leftfold_sq(qm))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            ids = pdf[key_col].to_numpy()
+            # left-fold dot product (matches the JVM/DuckDB fold bit-for-bit)
+            acc = np.zeros((len(qm), len(nm)))
+            for d in range(qm.shape[1]):
+                acc = acc + qm[:, d][:, None] * nm[:, d][None, :]
+            nn = np.sqrt(_leftfold_sq(nm))
+            cos = acc / (qn[:, None] * nn[None, :])
+            cos = np.where(qids[:, None] == ids[None, :], -np.inf, cos)  # no self
+            kk = min(k, cos.shape[1])
+            kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
+            qi, bi = np.nonzero(cos >= kth[:, None])
+            keep = np.isfinite(cos[qi, bi])
+            qi, bi = qi[keep], bi[keep]
+            yield pd.DataFrame(
+                {"query_id": qids[qi], "neighbor_id": ids[bi], "cosine": cos[qi, bi]}
+            )
+
+    return gen
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -57,23 +99,29 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` must have (query_id, qvec). Output:
-    (query_id, rank, neighbor_id, cosine). Self-matches are excluded when
-    query_id collides with a neighbor id.
+    ``queries`` must have (query_id, qvec) and be dimension-sized (collected
+    once, like a broadcast var). Map-side partial top-k: each Arrow batch
+    scores a (Q x B) cosine matrix in numpy and emits only its per-query
+    top-k (plus exact ties), so the shuffle into the final window carries
+    batches x Q x k rows instead of |Q| x N — the same treatment as
+    ``knn_join``. Output: (query_id, rank, neighbor_id, cosine); self-matches
+    excluded. The dot/norm folds replicate ``F.aggregate``'s left fold, so
+    cosines stay bit-identical to the JVM/DuckDB expression.
     """
-    cand = emb.select(
-        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    ).join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    qpdf = queries.select("query_id", "qvec").toPandas()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"].to_numpy()])
+    qids = qpdf["query_id"].to_numpy()
+    qid_type = dict(queries.dtypes)["query_id"]
+    nid_type = dict(emb.dtypes)[key_col]
+    schema = f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
+    partials = emb.select(key_col, vec_col).mapInPandas(
+        _cosine_partial_topk_gen(qids, qm, key_col, vec_col, k), schema=schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

@@ -102,6 +102,72 @@ def test_fingerprint_stability():
     assert rolling_fingerprint("") >= 0
 
 
+def test_batch_kernels_match_per_doc():
+    """The whole-batch vectorized kernels must be value-identical to the
+    per-document reference functions (same int64 arithmetic; min/fold are
+    order-independent)."""
+    from stac_catalog_builder_spark.functions.hashes import (
+        batch_minhash_bands,
+        batch_minhash_sigs,
+        batch_rolling_fingerprint,
+        batch_simhash64,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "a",
+        "xy",
+        "some longer document " * 20,
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    sigs = batch_minhash_sigs(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == minhash_signature(t)).all(), i
+    keys = batch_minhash_bands(sigs, 16)
+    for i, t in enumerate(texts):
+        assert (keys[i] == minhash_bands(minhash_signature(t), 16)).all(), i
+    fps = batch_rolling_fingerprint(texts)
+    for i, t in enumerate(texts):
+        assert fps[i] == rolling_fingerprint(t), i
+    shs = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert shs[i] == simhash64(t.split(" ")), i
+
+
+def test_batch_minhash_chunking_boundaries():
+    """Doc-chunking in the batch kernel must not change values (force many
+    chunks with a tiny shingle budget)."""
+    from stac_catalog_builder_spark.functions.hashes import batch_minhash_sigs
+
+    texts = [f"document number {i} with some shared boilerplate text" for i in range(50)]
+    a = batch_minhash_sigs(texts, shingle_budget=1 << 30)
+    b = batch_minhash_sigs(texts, shingle_budget=64)
+    assert (a == b).all()
+
+
+def test_hot_bucket_guard_bounds_identical_doc_blowup(spark):
+    """10^4 identical docs: naive LSH emits ~5*10^7 pairs (O(b^2)); the
+    exact-collapse + star expansion must keep output linear while preserving
+    duplicate-group connectivity, and near-dup recall must survive."""
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("exactly the same boilerplate text").alias("text")
+    )
+    near = spark.createDataFrame(
+        [
+            (n + 1, "a genuinely different document about gardens and rivers"),
+            (n + 2, "a genuinely different document about gardens and streams"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_candidate_pairs(base.unionByName(near)).collect()
+    assert len(pairs) <= n + 10  # linear star expansion, not O(n^2)
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 1) in found and (0, n - 1) in found  # group connectivity via rep 0
+    assert (n + 1, n + 2) in found  # near-dup recall preserved
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
