@@ -382,19 +382,108 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + P3: every asset row fetches its AssetConfig by asset_type via a
-    broadcast hash join against the tiny config dimension; unknown types are
-    dropped (inner) — reference builder.py:248-251 / config.py:198-237."""
-    cfg = spark.createDataFrame(
-        [
-            ("2m-temp-monthly", "2m temperature", "image/tiff; application=geotiff"),
-            ("tot-precip-monthly", "Total precipitation", "image/tiff; application=geotiff"),
-            ("never-produced", "unused", "application/x-unknown"),
-        ],
-        "asset_type string, title string, media_type string",
-    )
+    broadcast hash join against the config dimension LOADED FROM A JSON FILE
+    (the reference's CollectionConfig.from_json_file entry point,
+    config.py:304-312); unknown types are dropped (inner) —
+    reference builder.py:248-251 / config.py:198-237."""
+    from stac_catalog_builder_spark.sources import config as cfgmod
+
+    cfg = cfgmod.asset_config_df(spark, cfgmod.load_collection_config())
     imgs = synth.images(spark, sf_dir)
     return imgs.join(F.broadcast(cfg), "asset_type", "inner").select(
         "image_id", "title", "media_type"
+    )
+
+
+def q_bands_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bands nested-struct model: the config join attaches
+    ``bands array<struct(name,data_type,nodata,index)>`` per asset
+    (reference BandMetadata metadata.py:32-63 + band configs
+    config.py:62-195), exploded to eo/raster extension rows."""
+    from stac_catalog_builder_spark.operators import assets as assets_ops
+    from stac_catalog_builder_spark.sources import config as cfgmod
+
+    cfg = cfgmod.asset_config_df(spark, cfgmod.load_collection_config())
+    joined = assets_ops.attach_bands(synth.images(spark, sf_dir), cfg)
+    return assets_ops.explode_bands(joined)
+
+
+def q_tags_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/tags surface: sanitize the per-asset tags map, merge an override
+    map with dict-update semantics (override wins — reference mapper.py:182,
+    sanitation metadata.py:322-323), exploded to sorted key/value rows for
+    the hash comparison."""
+    from stac_catalog_builder_spark.operators import assets as assets_ops
+
+    override = F.create_map(
+        F.lit("rev"), F.lit("v9"), F.lit("proc"), F.lit("l2a")
+    )
+    merged = assets_ops.with_merged_tags(synth.images(spark, sf_dir), override)
+    return merged.select("image_id", F.explode("tags")).select(
+        "image_id",
+        F.col("key").alias("tag_key"),
+        F.col("value").alias("tag_value"),
+    )
+
+
+def q_datetime_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime normalization cascade (reference check_datetime,
+    metadata.py:554-590): ISO-T strings, naive timestamps, and bare dates all
+    normalize to UTC timestamps via a try_to_timestamp coalesce cascade."""
+    from stac_catalog_builder_spark.operators import assets as assets_ops
+
+    imgs = synth.images(spark, sf_dir)
+    shifted = F.timestamp_add(
+        "SECOND", (F.col("img_key") % 86400).cast("int"), F.col("datetime")
+    )
+    raw = (
+        F.when(F.col("img_key") % 3 == 0, F.date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("img_key") % 3 == 1, F.date_format(shifted, "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format(shifted, "yyyy-MM-dd"))
+    )
+    out = imgs.select("image_id", raw.alias("raw_str"))
+    return out.select(
+        "image_id",
+        "raw_str",
+        F.unix_timestamp(assets_ops.normalize_datetime(F.col("raw_str"))).alias(
+            "norm_s"
+        ),
+    )
+
+
+def q_tile_topk_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-tile top-k densest cells (skew diagnosis window,
+    SURVEY.md §2.5): rank() over partitionBy(tile) on per-cell image counts."""
+    from pyspark.sql import Window
+
+    assigned = _assigned(spark, sf_dir)
+    counts = (
+        assigned.select(
+            "tile_id", grid_cell_col(F.col("lon"), F.col("lat"), 7).alias("cell")
+        )
+        .groupBy("tile_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    w = Window.partitionBy("tile_id").orderBy(F.col("n_images").desc(), F.col("cell"))
+    return (
+        counts.withColumn("rank", F.rank().over(w))
+        .where(F.col("rank") <= 3)
+        .select("tile_id", "rank", "cell", "n_images")
+    )
+
+
+def q_footprint_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry serialization (reference boundingbox.py:95-171 bbox->WKT):
+    the footprint bbox as a closed WKT POLYGON with exact 5-decimal
+    coordinates built from integer arithmetic (engine-independent strings)."""
+    from stac_catalog_builder_spark.functions.geo import bbox_wkt
+
+    df = _images_fp(spark, sf_dir)
+    return df.select(
+        "image_id",
+        bbox_wkt(F.col("fp_w"), F.col("fp_s"), F.col("fp_e"), F.col("fp_n")).alias(
+            "wkt"
+        ),
     )
 
 
@@ -606,6 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "footprint_overlap_join": q_footprint_overlap_join,
         "config_join": q_config_join,
+        "bands_explode": q_bands_explode,
+        "tags_merge": q_tags_merge,
+        "datetime_norm": q_datetime_norm,
+        "tile_topk_density": q_tile_topk_density,
+        "footprint_wkt": q_footprint_wkt,
         "json_extract": q_json_extract,
         "offset_limit": q_offset_limit,
         "image_decode_stats": q_image_decode_stats,
@@ -654,6 +748,11 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracles.sql_events_pivot(),
         "footprint_overlap_join": oracles.sql_footprint_overlap_join(),
         "config_join": oracles.sql_config_join(),
+        "bands_explode": oracles.sql_bands_explode(),
+        "tags_merge": oracles.sql_tags_merge(),
+        "datetime_norm": oracles.sql_datetime_norm(),
+        "tile_topk_density": oracles.sql_tile_topk_density(),
+        "footprint_wkt": oracles.sql_footprint_wkt(),
         "json_extract": oracles.sql_json_extract(),
         "offset_limit": oracles.sql_offset_limit(),
         "dedup_exact": oracles.sql_dedup_exact(),

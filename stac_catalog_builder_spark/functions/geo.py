@@ -104,6 +104,41 @@ def rect_ring(w: float, s: float, e: float, n: float) -> tuple[np.ndarray, np.nd
 
 
 # ---------------------------------------------------------------------------
+# Geometry serialization (parity with reference boundingbox.py:95-171
+# bbox <-> Polygon/WKT forms; STAC items carry GeoJSON-style geometry)
+# ---------------------------------------------------------------------------
+
+def micro_decimal_str(x: Column) -> Column:
+    """Exact 5-decimal string of a double, built from micro-degree INTEGER
+    arithmetic (sign-magnitude int part + zero-padded fraction) — identical
+    in Spark and DuckDB, with no engine-specific float formatting involved."""
+    u = F.floor(x * 100000.0 + F.lit(0.5)).cast("bigint")
+    a = F.abs(u)
+    ip = F.floor(a / F.lit(100000)).cast("bigint")
+    frac = (a % F.lit(100000)).cast("bigint")
+    sign = F.when(u < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(
+        sign, ip.cast("string"), F.lit("."), F.lpad(frac.cast("string"), 5, "0")
+    )
+
+
+def bbox_wkt(w: Column, s: Column, e: Column, n: Column) -> Column:
+    """WKT POLYGON of a bbox, closed CCW ring (reference
+    boundingbox.py:161-171 as_polygon/as_wkt), 5-decimal coordinates."""
+    ws, ss, es, ns = (micro_decimal_str(c) for c in (w, s, e, n))
+    sp, com = F.lit(" "), F.lit(", ")
+    return F.concat(
+        F.lit("POLYGON (("),
+        ws, sp, ss, com,
+        es, sp, ss, com,
+        es, sp, ns, com,
+        ws, sp, ns, com,
+        ws, sp, ss,
+        F.lit("))"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reprojection (parity with reference stacbuilder/projections.py:21-67)
 # ---------------------------------------------------------------------------
 

@@ -142,33 +142,44 @@ def batch_shingle_hashes(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.n
     return h[pos], n_win
 
 
+def _mod_mersenne31(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31 - 1) without integer division (exact for 0 <= x < 2^62):
+    fold the high bits twice, then one conditional subtract. int64 remainder
+    in numpy is division-based and ~10x slower than these shifts."""
+    x = (x & MERSENNE31) + (x >> 31)
+    x = (x & MERSENNE31) + (x >> 31)
+    return np.where(x >= MERSENNE31, x - MERSENNE31, x)
+
+
 def batch_minhash_sigs(
-    texts: list[str],
-    k: int = 5,
-    num_perm: int = NUM_PERM,
-    shingle_budget: int = 1 << 19,
+    texts: list[str], k: int = 5, num_perm: int = NUM_PERM
 ) -> np.ndarray:
-    """MinHash signatures for a whole batch: segmented min via
-    ``np.minimum.reduceat`` over the packed shingle array, doc-chunked so the
-    transient (shingles x num_perm) slab stays under ~256 MB."""
+    """MinHash signatures for a whole batch.
+
+    Shape of the computation (all vectorized, no per-doc Python):
+    1. one packed sliding-window pass hashes every k-gram of every doc;
+    2. shingles dedupe globally (corpora share most k-grams) and per doc;
+    3. per permutation p: ``(a_p * uniq + b_p) mod M`` over the UNIQUE
+       shingles only (divisionless Mersenne fold), a 1-D cache-resident
+       gather back to the per-doc pair list, and one ``minimum.reduceat``.
+    Transient memory is O(pairs) per permutation (not pairs x perms — a 2-D
+    row gather measured 8x slower than 64 column passes). Values are
+    identical to ``minhash_signature`` per doc.
+    """
     if not texts:
         return np.zeros((0, num_perm), dtype=np.int64)
     sh, n_win = batch_shingle_hashes(texts, k)
-    seg = np.cumsum(n_win) - n_win
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+    uniq, inv = np.unique(sh, return_inverse=True)
+    # per-doc unique (doc, shingle) pairs, sorted by doc then shingle index
+    pairs = np.unique((doc_of << np.int64(32)) | inv)
+    pair_doc = pairs >> np.int64(32)
+    pair_inv = pairs & np.int64(0xFFFFFFFF)
+    starts = np.searchsorted(pair_doc, np.arange(len(texts), dtype=np.int64))
     out = np.empty((len(texts), num_perm), dtype=np.int64)
-    d0 = 0
-    n = len(texts)
-    while d0 < n:
-        d1 = d0 + 1
-        budget_end = seg[d0] + shingle_budget
-        while d1 < n and seg[d1] + n_win[d1] <= budget_end:
-            d1 += 1
-        s0, s1 = int(seg[d0]), int(seg[d1 - 1] + n_win[d1 - 1])
-        vals = (
-            sh[s0:s1, None] * MINHASH_A[None, :num_perm] + MINHASH_B[None, :num_perm]
-        ) % MERSENNE31
-        out[d0:d1] = np.minimum.reduceat(vals, seg[d0:d1] - s0, axis=0)
-        d0 = d1
+    for p in range(num_perm):
+        vals_p = _mod_mersenne31(uniq * MINHASH_A[p] + MINHASH_B[p])
+        out[:, p] = np.minimum.reduceat(vals_p[pair_inv], starts)
     return out
 
 

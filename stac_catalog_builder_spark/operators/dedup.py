@@ -70,9 +70,13 @@ def _exact_collapse(
     connectivity with O(group) rows instead of the O(group^2) an LSH bucket
     of identical texts would emit — THE hot-bucket pathology at 100 TB.
     """
+    from pyspark.sql import Window
+
     hashed = df.select(key_col, text_col, F.md5(F.col(text_col)).alias("_ch"))
-    reps_key = hashed.groupBy("_ch").agg(F.min(key_col).alias("_rep"))
-    members = hashed.join(reps_key, "_ch")
+    # one shuffle: min-key over a whole-group window (a groupBy+join back
+    # would shuffle twice; collect_list of members would not survive a
+    # 10^9-row duplicate group)
+    members = hashed.withColumn("_rep", F.min(key_col).over(Window.partitionBy("_ch")))
     star = members.where(F.col(key_col) != F.col("_rep")).select(
         F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
     )
@@ -84,18 +88,19 @@ def _salt_hot_buckets(
     bucketed: DataFrame, key_col: str, max_bucket: int
 ) -> DataFrame:
     """Split buckets larger than ``max_bucket`` into deterministic salted
-    sub-buckets (pairs survive only within a sub-bucket). One counting pass
-    finds the oversized buckets; the (small) list broadcasts back. Bounds
-    within-bucket pair output at O(n * max_bucket) instead of O(n^2). The
-    split is observable, not silent: callers can diff candidate counts, and
-    exact duplicates never reach here (collapsed upstream)."""
-    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-    over = sizes.where(F.col("_bn") > max_bucket)
-    out = bucketed.join(F.broadcast(over), "bucket", "left")
-    salt = F.when(F.col("_bn").isNull(), F.lit(0)).otherwise(
-        F.pmod(F.xxhash64(F.col(key_col)), F.ceil(F.col("_bn") / max_bucket))
+    sub-buckets (pairs survive only within a sub-bucket). Bucket sizes come
+    from a count window over the SAME bucket key the join shuffles on — no
+    separate aggregation pass or broadcast-back stage. Bounds within-bucket
+    pair output at O(n * max_bucket) instead of O(n^2). The split is
+    observable, not silent: callers can diff candidate counts, and exact
+    duplicates never reach here (collapsed upstream)."""
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    salt = F.when(bn <= max_bucket, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col(key_col)), F.ceil(bn / F.lit(max_bucket)))
     )
-    return out.withColumn("salt", salt.cast("int")).drop("_bn")
+    return bucketed.withColumn("salt", salt.cast("int"))
 
 
 def minhash_candidate_pairs(
@@ -115,10 +120,16 @@ def minhash_candidate_pairs(
     splits the shuffle but NOT the O(b^2) pair output — this does).
     """
     reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
-    b = with_minhash(reps, text_col, bands).select(
-        key_col, F.explode("band_keys").alias("bucket")
-    )
-    b = _salt_hot_buckets(b, key_col, max_bucket)
+    # persist the salted (key, bucket, salt) table: it feeds both sides of
+    # the self-join — without it the signature UDF would run twice (at scale
+    # this is the materialized signature-table stage of any LSH pipeline)
+    b = _salt_hot_buckets(
+        with_minhash(reps, text_col, bands).select(
+            key_col, F.explode("band_keys").alias("bucket")
+        ),
+        key_col,
+        max_bucket,
+    ).persist()
     left = b.alias("l")
     right = b.alias("r")
     rep_pairs = (
@@ -127,8 +138,9 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"l.{key_col}").alias("id_a"), F.col(f"r.{key_col}").alias("id_b")
         )
+        .distinct()  # docs sharing several bands; star pairs are unique already
     )
-    return rep_pairs.unionByName(star).distinct()
+    return rep_pairs.unionByName(star)
 
 
 def ngram_jaccard(
@@ -197,7 +209,7 @@ def simhash_candidate_pairs(
         "simhash",
         (F.col("b.blk").cast("bigint") * F.lit(65536) + F.col("b.val")).alias("bucket"),
     )
-    blocks = _salt_hot_buckets(blocks, key_col, max_bucket)
+    blocks = _salt_hot_buckets(blocks, key_col, max_bucket).persist()
     l, r = blocks.alias("l"), blocks.alias("r")
     rep_pairs = (
         l.join(r, ["bucket", "salt"])
@@ -210,10 +222,9 @@ def simhash_candidate_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
+        .distinct()  # docs sharing several blocks; star pairs unique already
     )
-    return rep_pairs.unionByName(
-        star.withColumn("hamming", F.lit(0).cast("int"))
-    ).distinct()
+    return rep_pairs.unionByName(star.withColumn("hamming", F.lit(0).cast("int")))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

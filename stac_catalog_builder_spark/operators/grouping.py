@@ -35,22 +35,58 @@ def _extent_aggs() -> list:
     ]
 
 
-def items_from_assets(assets: DataFrame) -> DataFrame:
+_BBOX_COLS = ("fp_w", "fp_s", "fp_e", "fp_n")
+
+
+def items_from_assets(
+    assets: DataFrame,
+    split_by_bbox: bool = True,
+    enforce_consistency: bool = False,
+) -> DataFrame:
     """Group asset rows into item rows (A1 + A2 + A3).
 
-    One shuffle: groupBy(item_id). Emits per-item asset array (sorted for
+    One shuffle: groupBy(item_id [+ bbox key]). With ``split_by_bbox`` (the
+    reference's semantics, builder.py:780-793), assets of one item_id with
+    different footprints split into separate item rows — the secondary key is
+    the exact micro-degree integer bbox tuple, so the split is deterministic
+    and engine-independent. Emits per-item asset array (sorted for
     deterministic output, the analogue of the reference's sorted links,
     builder.py:549), extent, and the consistency checks the reference asserts
     per group (builder.py:203-216) as ``n_*_distinct`` columns.
+
+    ``enforce_consistency=True`` upgrades the observational columns to the
+    reference's hard asserts: a group whose assets disagree on datetime
+    raises at execution time (builder.py:203-216 ItemBuilder asserts).
     """
-    return assets.groupBy("item_id").agg(
+    keys = ["item_id"]
+    df = assets
+    if split_by_bbox:
+        for c in _BBOX_COLS:
+            df = df.withColumn(
+                f"_bk_{c}", F.floor(F.col(c) * 100000.0 + F.lit(0.5)).cast("bigint")
+            )
+        keys += [f"_bk_{c}" for c in _BBOX_COLS]
+    out = df.groupBy(*keys).agg(
         *_extent_aggs(),
         F.array_sort(F.collect_list("image_id")).alias("asset_ids"),
         F.countDistinct("asset_type").alias("n_types"),
         F.countDistinct("year", "month").alias("n_datetime_distinct"),
         F.first("year").alias("year"),
         F.first("month").alias("month"),
-    )
+    ).drop(*[f"_bk_{c}" for c in _BBOX_COLS])
+    if enforce_consistency:
+        # assert_true evaluates inside a filter (a dropped withColumn would
+        # be pruned away); NULL result = passed
+        out = out.where(
+            F.assert_true(
+                F.col("n_datetime_distinct") == 1,
+                F.concat(
+                    F.lit("inconsistent item group (datetime mismatch): "),
+                    F.col("item_id"),
+                ),
+            ).isNull()
+        )
+    return out
 
 
 def first_asset_geometry(assets: DataFrame) -> DataFrame:

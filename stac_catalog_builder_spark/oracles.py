@@ -221,6 +221,9 @@ GROUP BY ROLLUP(collection_id, year)
 
 
 def sql_item_grouping() -> str:
+    """A1 + A2: group by item_id AND the exact micro-degree bbox tuple — the
+    reference splits an item's assets by exact bbox so each STAC item carries
+    one geometry (builder.py:780-793)."""
     return f"""
 WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
 SELECT item_id,
@@ -232,7 +235,7 @@ SELECT item_id,
        {_micro('MAX(fp_n)')} AS ext_n_u,
        CAST(epoch(MIN(datetime)) AS BIGINT) AS dt_min_s
 FROM fp
-GROUP BY item_id
+GROUP BY item_id, {_micro('fp_w')}, {_micro('fp_s')}, {_micro('fp_e')}, {_micro('fp_n')}
 """
 
 
@@ -635,6 +638,111 @@ asset_config AS (
 )
 SELECT i.image_id, c.title, c.media_type
 FROM images i JOIN asset_config c ON i.asset_type = c.asset_type
+"""
+
+
+def sql_bands_explode() -> str:
+    """Bands nested-struct rows: the band configs from the collection config
+    JSON (mirrored literally here — data/collection-config.json) exploded per
+    asset (reference config.py:62-195, metadata.py:152-153)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}
+SELECT image_id, 't2m' AS band_name, 'float32' AS data_type,
+       CAST(-9999 AS INT) AS nodata, CAST(1 AS INT) AS band_index
+FROM images WHERE asset_type = '2m-temp-monthly'
+UNION ALL
+SELECT image_id, 'precip', 'float32', CAST(-9999 AS INT), CAST(1 AS INT)
+FROM images WHERE asset_type = 'tot-precip-monthly'
+UNION ALL
+SELECT image_id, 'precip_qa', 'uint8', CAST(255 AS INT), CAST(2 AS INT)
+FROM images WHERE asset_type = 'tot-precip-monthly'
+"""
+
+
+def sql_tags_merge() -> str:
+    """Tags map merge, exploded: base tags {product_type, fmt, rev} with the
+    override {rev: v9, proc: l2a} winning on collision (dict-update
+    semantics, reference mapper.py:182)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}
+SELECT image_id, 'product_type' AS tag_key, asset_type AS tag_value FROM images
+UNION ALL
+SELECT image_id, 'fmt', fmt FROM images
+UNION ALL
+SELECT image_id, 'rev', 'v9' FROM images
+UNION ALL
+SELECT image_id, 'proc', 'l2a' FROM images
+"""
+
+
+def sql_datetime_norm() -> str:
+    """check_datetime cascade (metadata.py:554-590): per-row string variants
+    (ISO-T / naive / bare date) normalized back to UTC timestamps."""
+    return f"""
+WITH {IMAGES_CTE.strip()},
+shifted AS (
+  SELECT image_id, img_key,
+         datetime + (img_key % 86400) * INTERVAL 1 SECOND AS ts
+  FROM images
+),
+raw AS (
+  SELECT image_id,
+         CASE WHEN img_key % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+              WHEN img_key % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(ts, '%Y-%m-%d') END AS raw_str
+  FROM shifted
+)
+SELECT image_id, raw_str,
+       CAST(epoch(COALESCE(
+         try_strptime(raw_str, '%Y-%m-%dT%H:%M:%S'),
+         try_strptime(raw_str, '%Y-%m-%d %H:%M:%S'),
+         try_strptime(raw_str, '%Y-%m-%d'))) AS BIGINT) AS norm_s
+FROM raw
+"""
+
+
+def sql_tile_topk_density() -> str:
+    """W3: per-tile top-3 densest grid cells (skew diagnosis window)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()},
+cellcounts AS (
+  SELECT tile_id, {_grid_cell_sql(7)} AS cell, COUNT(*) AS n_images
+  FROM assigned GROUP BY 1, 2
+),
+ranked AS (
+  SELECT tile_id, cell, n_images,
+         rank() OVER (PARTITION BY tile_id ORDER BY n_images DESC, cell)
+           AS "rank"
+  FROM cellcounts
+)
+SELECT tile_id, "rank", cell, n_images FROM ranked WHERE "rank" <= 3
+"""
+
+
+def _micro_dec_sql(expr: str) -> str:
+    """Exact 5-decimal string from integer micro-degrees (sign-magnitude) —
+    mirrors functions.geo.micro_decimal_str, no float formatting."""
+    u = f"CAST(FLOOR(({expr}) * 100000.0 + 0.5) AS BIGINT)"
+    return (
+        f"(CASE WHEN {u} < 0 THEN '-' ELSE '' END"
+        f" || CAST(ABS({u}) // 100000 AS VARCHAR)"
+        f" || '.' || lpad(CAST(ABS({u}) % 100000 AS VARCHAR), 5, '0'))"
+    )
+
+
+def sql_footprint_wkt() -> str:
+    """bbox -> WKT POLYGON (reference boundingbox.py:95-171), coordinates as
+    exact 5-decimal strings built from integer arithmetic."""
+    w, s = _micro_dec_sql("fp_w"), _micro_dec_sql("fp_s")
+    e, n = _micro_dec_sql("fp_e"), _micro_dec_sql("fp_n")
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id,
+  'POLYGON ((' || {w} || ' ' || {s} || ', ' || {e} || ' ' || {s} || ', '
+              || {e} || ' ' || {n} || ', ' || {w} || ' ' || {n} || ', '
+              || {w} || ' ' || {s} || '))' AS wkt
+FROM fp
 """
 
 

@@ -20,6 +20,10 @@ _BASE_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce by advisory size, not default parallelism: multi-stage plans
+    # over small shuffles otherwise schedule cores x tasks of pure overhead;
+    # at production scale partitions are sized by advisoryPartitionSize anyway
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # pandas UDF batches: big enough to amortize Arrow transfer, small enough

@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import json
+import re
 import time
 from collections.abc import Callable, Iterator
 from pathlib import Path
@@ -67,6 +68,45 @@ def save_collection(items: DataFrame, collection_id: str, out_dir: str) -> dict:
     out.mkdir(parents=True, exist_ok=True)
     (out / "collection.json").write_text(json.dumps(payload, indent=2, default=str))
     return payload
+
+
+_TEMPLATE_FIELD = re.compile(r"\{(\w+)(?::(\d*)d)?\}")
+
+
+def item_path_from_template(df: DataFrame, template: str, out_col: str = "item_path") -> DataFrame:
+    """Layout-template item paths (the reference's second output layout:
+    ``normalize_hrefs`` with a template strategy, builder.py:521-528).
+    Template fields reference columns, e.g.
+    ``"{collection_id}/{year}/{month:02d}/{item_id}.json"`` — zero-padded
+    integer specs supported; everything compiles to one format_string."""
+    cols = []
+
+    def repl(m: re.Match) -> str:
+        cols.append(F.col(m.group(1)))
+        return f"%{m.group(2)}d" if m.group(2) is not None else "%s"
+
+    fmt = _TEMPLATE_FIELD.sub(repl, template)
+    return df.withColumn(out_col, F.format_string(fmt, *cols))
+
+
+def write_items_templated(items: DataFrame, root: str, template: str) -> int:
+    """S7 template variant: one JSON per item at its templated path, written
+    executor-parallel via foreachPartition (the Spark analogue of the
+    reference's async item-save pool, builder.py:457-482). Items are an
+    aggregated (item-level) table — far smaller than the asset fact table."""
+    with_path = item_path_from_template(items, template)
+    root_path = str(root)
+
+    def save_partition(rows) -> None:
+        for r in rows:
+            d = r.asDict()
+            rel = d.pop("item_path")
+            target = Path(root_path) / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_text(json.dumps(d, default=str, sort_keys=True))
+
+    with_path.foreachPartition(save_partition)
+    return len(list(Path(root_path).rglob("*.json")))
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,13 @@ def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
             month,
             item_key,
         ).alias("caption"),
+        # per-asset tags map (reference metadata.py:149-150); merged/overridden
+        # by operators.assets.merge_tags, exploded in the tags_merge oracle
+        F.create_map(
+            F.lit("product_type"), asset_type,
+            F.lit("fmt"), fmt,
+            F.lit("rev"), (key % 7).cast("string"),
+        ).alias("tags"),
     )
 
 

