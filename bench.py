@@ -75,9 +75,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "item_grouping",
         "extent_rollup",
         "knn",
+        "knn_cellring",
         "dedup_exact",
         "minhash_pairs",
+        "simhash_pairs",
         "ann_cosine_topk",
+        "ann_lsh_topk",
+        "tags_merge",
+        "bands_explode",
+        "tile_topk_density",
         "pricing_summary",
         "revenue_by_nation",
         "events_hourly",

@@ -243,16 +243,38 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 12,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding near-duplicates: hyperplane-LSH bucket, verify cosine within
-    bucket. Bucket join is an equi-join (shuffle on 2^n_planes keys)."""
+    bucket. Bucket join is an equi-join (shuffle on 2^n_planes keys). Same
+    100 TB guards as the text LSH ops: byte-identical vectors (e.g. the
+    all-zeros failure-mode embedding) collapse to star pairs at cosine 1.0
+    instead of an O(b^2) bucket, and residual oversized buckets are salted."""
+    from pyspark.sql import Window
+
+    hashed = emb.select(
+        key_col, vec_col, F.md5(F.col(vec_col).cast("string")).alias("_ch")
+    )
+    members = hashed.withColumn(
+        "_rep", F.min(key_col).over(Window.partitionBy("_ch"))
+    )
+    star = members.where(F.col(key_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col(key_col).alias("id_b"),
+        F.lit(1.0).alias("cosine"),
+    )
+    reps = members.where(F.col(key_col) == F.col("_rep")).select(key_col, vec_col)
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.map(np.asarray).to_numpy())
         return pd.Series(hyperplane_sketch(m, n_planes))
 
-    b = emb.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket"))
+    b = _salt_hot_buckets(
+        reps.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket")),
+        key_col,
+        max_bucket,
+    )
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
         F.zip_with(
@@ -270,8 +292,8 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
-    return (
-        l.join(r, "bucket")
+    rep_pairs = (
+        l.join(r, ["bucket", "salt"])
         .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
         .select(
             F.col(f"l.{key_col}").alias("id_a"),
@@ -280,3 +302,4 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+    return rep_pairs.unionByName(star)

@@ -41,8 +41,14 @@ _BASE_CONF = {
     # cores on this engine's PIP+tiling plan. Lifting the cap restores JIT.
     # (Must be set before JVM launch — driver for local mode, executors for
     # cluster mode.)
-    "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
-    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    "spark.driver.extraJavaOptions": (
+        "-XX:-DontCompileHugeMethods "
+        + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    ).strip(),
+    "spark.executor.extraJavaOptions": (
+        "-XX:-DontCompileHugeMethods "
+        + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    ).strip(),
 }
 
 

@@ -35,8 +35,12 @@ def write_items_partitioned(items: DataFrame, out_dir: str, fmt: str = "json") -
         base = base.withColumn("month", F.month("datetime"))
     day = F.dayofmonth("datetime") if "day" not in base.columns else F.col("day")
     base = base.withColumn("day", day)
+    # O4: deterministic within-file ordering (the reference's sort_index,
+    # terracatalog.py:612) without a global sort — no extra shuffle
+    sort_key = "item_id" if "item_id" in base.columns else base.columns[0]
     (
-        base.write.mode("overwrite")
+        base.sortWithinPartitions(sort_key)
+        .write.mode("overwrite")
         .partitionBy("year", "month", "day")
         .format(fmt)
         .save(out_dir)

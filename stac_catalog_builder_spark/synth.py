@@ -84,7 +84,16 @@ def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
         # the single-file scan's 1-2 partitions). The offset keeps replica
         # keys disjoint while key * A_LON stays inside int64 (ANSI mode
         # errors on overflow) up to replicate ~17000.
-        reps = spark.range(replicate).select((F.col("id") * 200_000).alias("rep_off"))
+        # repartition the tiny replica range (not the expanded fact table!) so
+        # downstream writes produce many uniform files: bench staging once
+        # emitted 8 x 540MB files = one task wave at 32 cores (see
+        # BENCH/BASELINE.md), and shuffling the expanded table instead would
+        # spill the whole fact table
+        reps = (
+            spark.range(replicate)
+            .repartition(min(replicate, 512))
+            .select((F.col("id") * 200_000).alias("rep_off"))
+        )
         orders = reps.crossJoin(F.broadcast(orders.select("o_orderkey"))).select(
             (F.col("o_orderkey") + F.col("rep_off")).alias("o_orderkey")
         )

@@ -95,6 +95,26 @@ def test_micro_decimal_str(spark, val, expected):
     assert df.select(micro_decimal_str(F.col("x")).alias("s")).collect()[0].s == expected
 
 
+def test_micro_decimal_str_randomized(spark):
+    """500 random doubles: the Spark string must equal the exact integer
+    decomposition computed in Python (sign-magnitude micro-degrees)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = (rng.uniform(-180, 180, 500)).tolist()
+
+    def expected(x: float) -> str:
+        import math
+
+        u = int(math.floor(x * 100000.0 + 0.5))
+        a = abs(u)
+        return f"{'-' if u < 0 else ''}{a // 100000}.{a % 100000:05d}"
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.s for r in df.select(micro_decimal_str(F.col("x")).alias("s")).collect()]
+    assert got == [expected(v) for v in vals]
+
+
 def test_bbox_wkt_form(spark):
     df = spark.createDataFrame([(-1.5, -0.25, 2.0, 3.75)], "w double, s double, e double, n double")
     got = df.select(

@@ -24,6 +24,19 @@ def items(spark):
     return items_from_assets(with_footprint(synth.images(spark, SF))).limit(200)
 
 
+def test_explore_previews(spark):
+    """The reference's list_* exploration commands (commandapi.py:151-242)
+    as bounded previews — each respects its cap and returns stage columns."""
+    from stac_catalog_builder_spark.sources import explore
+
+    files = explore.list_input_files(spark, SF, max_files=7).collect()
+    assert len(files) == 7 and files[0].image_id < files[-1].image_id
+    meta = explore.list_asset_metadata(spark, SF, max_assets=5).collect()
+    assert len(meta) == 5 and {"lon", "lat", "fp_w"} <= set(meta[0].asDict())
+    items_prev = explore.list_items(spark, SF, max_items=3).collect()
+    assert len(items_prev) == 3 and "n_assets" in items_prev[0].asDict()
+
+
 def test_write_items_partitioned_layout(spark, items, tmp_path):
     out = tmp_path / "items"
     df = items.withColumn("datetime", F.col("dt_min"))

@@ -111,3 +111,24 @@ def test_hash_kernels_total_and_deterministic(text):
 def test_hex_kring_size_formula(res, k):
     c = int(hex_cell_np(np.array([10.0]), np.array([20.0]), res)[0])
     assert len(hex_kring_np(c, k)) == 1 + 3 * k * (k + 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=12))
+def test_batch_kernels_equal_per_doc_on_arbitrary_unicode(texts):
+    """Whole-batch kernels == per-doc reference functions on ANY input
+    (padding, utf-8 multibyte, empty docs, duplicate docs)."""
+    from stac_catalog_builder_spark.functions.hashes import (
+        batch_minhash_sigs,
+        batch_rolling_fingerprint,
+        batch_simhash64,
+        rolling_fingerprint,
+    )
+
+    sigs = batch_minhash_sigs(texts)
+    fps = batch_rolling_fingerprint(texts)
+    shs = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == minhash_signature(t)).all()
+        assert fps[i] == rolling_fingerprint(t)
+        assert shs[i] == simhash64(t.split(" "))
