@@ -670,6 +670,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.sessionize(spark, sf_dir)
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's built-in session_window (gap-merging)
+    in batch mode — the streaming twin lives in streaming/events.py. The
+    oracle replicates the [start, last+gap) semantics with a lag+cumsum
+    construction (new session iff the microsecond gap >= 30 min)."""
+    from stac_catalog_builder_spark.streaming.events import session_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_rollup(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "footprints": q_footprints,
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
     }
 
 
@@ -766,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": oracles.sql_revenue_by_nation(),
         "events_hourly": oracles.sql_events_hourly(),
         "sessionize": oracles.sql_sessionize(gap_minutes=30),
+        "session_windows": oracles.sql_session_windows(gap_minutes=30),
         # no oracle (non-SQL-expressible -> rows-only checks):
         # minhash_pairs, simhash_pairs, doc_fingerprint, embedding_neardup
     }

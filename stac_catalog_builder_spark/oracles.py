@@ -453,6 +453,35 @@ FROM g GROUP BY user_id
 """
 
 
+def sql_session_windows(gap_minutes: int = 30) -> str:
+    """Replicates Spark's session_window(ts, gap) in SQL: sessions merge
+    while the inter-event gap is < gap (window end = last event + gap,
+    half-open), so a NEW session starts when the microsecond gap >= gap.
+    Microsecond-integer comparison = exact in both engines."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_x1000
+FROM s GROUP BY user_id, sess
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 4: path parsing / href / tile cover / range join / window oracles
 # ---------------------------------------------------------------------------

@@ -57,6 +57,52 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation (gap-based, merging as events arrive) —
+    the streaming twin of plans/relational.sessionize's lag+cumsum batch
+    form. Works identically over a batch DataFrame (used by the parity
+    test) and a stream (watermark finalizes sessions once no event can
+    extend them)."""
+    base = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        base.groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias(
+                "sum_value_x1000"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("session_start_s"),
+            "n_events",
+            "sum_value_x1000",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark: SparkSession, src_path: str, query_name: str = "events_sessions"
+) -> DataFrame:
+    """Drive the session-window stream to completion (append mode — only
+    watermark-finalized sessions emit; the caller appends a far-future
+    sentinel file so every real session finalizes deterministically)."""
+    agg = session_rollup(read_event_stream(spark, src_path))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_to_memory(
     spark: SparkSession, src_path: str, query_name: str = "events_rollup"
 ) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the properties that make the engine fast
+at 100 TB, asserted on the actual executed plans so they can't silently rot.
+
+- hot paths stay JVM-side (zero Python evals in the flagship plan),
+- dimension joins broadcast (no SortMergeJoin anywhere),
+- scans are column-pruned and filters are pushed to parquet.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def flagship_plan(spark):
+    from stac_catalog_builder_spark.operators.spatial_join import (
+        prepare_polygon_dim,
+        spatial_join_pip,
+    )
+    from stac_catalog_builder_spark.operators.tiling import with_tile
+
+    dim = prepare_polygon_dim(spark, e._boundary_polygons(spark, SF))
+    assigned = spatial_join_pip(e._images_fp(spark, SF), dim=dim)
+    tiled = with_tile(assigned, zoom=6).select(
+        "image_id", "tile_id", "collection_id", "tile_x", "tile_y"
+    )
+    return _plan(tiled)
+
+
+def test_flagship_has_no_python_in_hot_path(flagship_plan):
+    assert "Python" not in flagship_plan  # no BatchEvalPython/ArrowEvalPython
+
+
+def test_flagship_joins_broadcast_only(flagship_plan):
+    assert flagship_plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in flagship_plan
+    assert "CartesianProduct" not in flagship_plan
+
+
+def test_flagship_scan_is_column_pruned(flagship_plan):
+    # the synthetic image table derives everything from o_orderkey: the scan
+    # must read exactly that one column (Catalyst column pruning end-to-end)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", flagship_plan)
+    assert schemas and all(s == "o_orderkey:bigint" for s in schemas)
+
+
+def test_relational_filter_pushdown(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _plan(orders.select("o_orderkey"))
+    assert "PushedFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_dimension_join_is_broadcast(spark):
+    plan = _plan(e.queries()["config_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_ngram_pairs_plan_has_no_nested_loop_join(spark):
+    """The pair generation must be an equi-join (explode+join), not a
+    BroadcastNestedLoopJoin over a theta condition (O(N^2) at scale)."""
+    plan = _plan(e.queries()["ngram_jaccard_pairs"](spark, SF))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_knn_shuffle_is_bounded(spark):
+    """knn's exchange input is the partial top-k output, not the fact table:
+    the plan has the mapInPandas stage BELOW the window exchange."""
+    plan = _plan(e.queries()["knn"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")  # topmost first

@@ -36,6 +36,45 @@ def test_streaming_rollup_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Session-window stream (watermark-finalized, append mode) == the same
+    session_window aggregation run in batch. A far-future sentinel file
+    advances the watermark past every real session so all finalize; the
+    sentinel user is excluded from the comparison."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "a_events.parquet")
+    real = spark.read.parquet(f"{SF}/events.parquet")
+    sentinel = real.limit(1).select(
+        F.lit(999).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sent"))
+    time.sleep(1.1)  # file-source orders by mod time: sentinel must be LAST
+    sent_file = next((tmp_path / "sent").glob("*.parquet"))
+    shutil.copy(sent_file, d / "z_sentinel.parquet")
+
+    out = streaming_events.run_sessions_to_memory(spark, str(d), "t_sessions")
+    got = {
+        (r.user_id, r.session_start_s): (r.n_events, r.sum_value_x1000)
+        for r in out.where("user_id >= 0").collect()
+    }
+    want = {
+        (r.user_id, r.session_start_s): (r.n_events, r.sum_value_x1000)
+        for r in streaming_events.session_rollup(real).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_foreach_batch_to_store(spark, events_dir, tmp_path):
     store = SnapshotStore(tmp_path / "ckpt")
     streaming_events.run_foreach_batch_to_store(spark, events_dir, store)
