@@ -650,6 +650,27 @@ def q_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PCM-WAV decode + features (duration/RMS/zero-crossings/
+    dominant frequency) with the lossless-PCM invariant; pytest asserts
+    pcm_ok on every row and dominant_hz tracks the synth tone."""
+    imgs = multimodal.with_audio_bytes(synth.images(spark, sf_dir).limit(300))
+    return multimodal.audio_features(imgs)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: RVID random-access frame sampling (every 8th of 24 frames
+    -> 3 rows/clip); pytest asserts frame pixels round-trip exactly. The
+    binary frame payload is fingerprinted (md5) for the driver harness —
+    raw binary columns break pandas-side comparison."""
+    imgs = multimodal.with_video_bytes(synth.images(spark, sf_dir).limit(200))
+    out = multimodal.video_frame_sample(imgs, every_n=8)
+    return out.select(
+        "image_id", "frame_idx", "n_frames", "ts_ms", "mean_x1000",
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(spark, sf_dir)
 
@@ -668,6 +689,58 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.sessionize(spark, sf_dir)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each purchase event joins the latest
+    signup at-or-before it by the same user — union + window forward-fill,
+    one shuffle on the key (operators/temporal.py; DuckDB checks it with a
+    native ASOF LEFT JOIN)."""
+    from stac_catalog_builder_spark.operators.temporal import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("v"))
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("v") * 1000.0 + 0.5).cast("bigint").alias("signup_value_x1000"),
+            F.unix_timestamp("ts").alias("signup_s"),
+        )
+    )
+    out = asof_join_backward(
+        purchases, signups, key="user_id",
+        payloads=["signup_value_x1000", "signup_s"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_s"),
+        "asof_signup_value_x1000",
+        "asof_signup_s",
+    )
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: global top-50 tokens by frequency (vocabulary table —
+    the map-side partial agg bounds the shuffle to distinct tokens; the
+    top-k itself is a TakeOrdered, never a global sort)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))  # 50 rows only
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "token", "n")
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_limit": q_offset_limit,
         "image_decode_stats": q_image_decode_stats,
         "image_embedding_topk": q_image_embedding_topk,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -733,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "session_windows": q_session_windows,
+        "asof_join": q_asof_join,
+        "token_topk": q_token_topk,
     }
 
 
@@ -779,6 +856,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.sql_events_hourly(),
         "sessionize": oracles.sql_sessionize(gap_minutes=30),
         "session_windows": oracles.sql_session_windows(gap_minutes=30),
+        "asof_join": oracles.sql_asof_join(),
+        "token_topk": oracles.sql_token_topk(k=50),
         # no oracle (non-SQL-expressible -> rows-only checks):
         # minhash_pairs, simhash_pairs, doc_fingerprint, embedding_neardup
     }

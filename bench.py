@@ -60,6 +60,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     dim = prepare_polygon_dim(spark, e._boundary_polygons(spark, sf_dir))
 
     def flagship():
+        # NOTE: both sinks recompute the (cheap, fully-codegen'd) scan+join —
+        # measured FASTER than persisting `assigned` (wide-row cache
+        # materialization costs more than the recompute at this width)
         assigned = spatial_join_pip(e._images_fp(spark, sf_dir), dim=dim)
         tiled = with_tile(assigned, zoom=6)
         _force(tiled.select("image_id", "tile_id", "collection_id", "tile_x", "tile_y"))

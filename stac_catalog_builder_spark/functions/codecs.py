@@ -184,3 +184,101 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     yi = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
     xi = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
     return arr[yi[:, None], xi[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# Audio codec: real PCM WAV (RIFF/WAVE fmt+data chunks, 16-bit mono) —
+# stdlib struct + numpy only, readable by any standard audio tool.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def make_waveform(seed: int, n_samples: int, rate: int = WAV_RATE) -> np.ndarray:
+    """Deterministic int16 mono waveform: a 2-tone sine mix + seeded noise
+    (the audio analogue of make_raster; any executor regenerates it)."""
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    f1 = 200.0 + (seed % 1200)          # 200-1399 Hz
+    f2 = 150.0 + ((seed >> 12) % 900)   # 150-1049 Hz
+    sig = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    sig = sig + rng.uniform(-0.02, 0.02, n_samples)
+    return np.clip(sig * 32000.0, -32768, 32767).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Standard 16-bit mono PCM WAV (RIFF header + fmt + data chunks)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = rate * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV payload -> (int16 samples, sample_rate). Walks the
+    RIFF chunk list (tolerates extra chunks before data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# Video codec: RVID — packed raw grayscale frames with a fixed header
+# (magic, frame count, dims, fps). The frame payload is the raw codec's
+# pixel layout, so every sampled frame re-encodes losslessly.
+# ---------------------------------------------------------------------------
+
+RVID_MAGIC = b"RVID"
+
+
+def make_video(seed: int, n_frames: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (n_frames, h, w) uint8 clip: the seed raster panned one
+    pixel per frame with a per-frame brightness ramp (content changes every
+    frame, so frame-sampling results are order-sensitive and checkable)."""
+    base = make_raster(seed, w, h).astype(np.int16)
+    frames = np.empty((n_frames, h, w), dtype=np.uint8)
+    for i in range(n_frames):
+        panned = np.roll(base, shift=i, axis=1) + (i % 7) * 3
+        frames[i] = np.clip(panned, 0, 255).astype(np.uint8)
+    return frames
+
+
+def encode_rvid(frames: np.ndarray, fps: int = 10) -> bytes:
+    n, h, w = frames.shape
+    return (
+        RVID_MAGIC
+        + struct.pack("<IHHH", n, w, h, fps)
+        + frames.astype(np.uint8).tobytes()
+    )
+
+
+def decode_rvid_header(payload: bytes) -> tuple[int, int, int, int]:
+    """-> (n_frames, w, h, fps) without touching frame bytes (cheap probe)."""
+    if payload[:4] != RVID_MAGIC:
+        raise ValueError("not an RVID payload")
+    return struct.unpack("<IHHH", payload[4:14])
+
+
+def decode_rvid_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Random-access decode of ONE frame (frame sampling never materializes
+    the whole clip)."""
+    n, w, h, _ = decode_rvid_header(payload)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    off = 14 + idx * w * h
+    return np.frombuffer(payload[off : off + w * h], dtype=np.uint8).reshape(h, w)

@@ -1,10 +1,13 @@
 """Multimodal column operators: encode/decode/feature-extract/resize over
-opaque ``binary`` image columns, plus stubbed audio/video hooks.
+opaque ``binary`` image, audio, and video columns.
 
-The Spark-side plumbing is real and tested (schemas, Arrow batch shapes,
-mapInPandas iterators); only codecs that would need external libraries
-(JPEG/MP3/H.264) are stubbed behind NotImplementedError — the engine's own
-raw/png/dct codecs (functions/codecs.py) run for real.
+All three modalities run REAL codecs implemented in functions/codecs.py with
+stdlib+numpy only: raw/PNG/DCT images, 16-bit mono PCM WAV audio (standard
+RIFF chunks), and RVID packed-raw-frame video with random-access frame
+decode. No external codec libraries are required; a production deployment
+would swap the codec kernels (JPEG/MP3/H.264) while keeping every Spark
+contract here — schemas, Arrow batch shapes, mapInPandas iterators —
+unchanged.
 
 Scale notes: ``bytes`` stays out of every plan that doesn't need pixels
 (column pruning — the reference hand-rolled the same idea with "lightweight
@@ -149,20 +152,121 @@ def image_embedding(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
-# --- stubbed modalities (no codec libraries in this environment) -----------
+# --- audio modality (real PCM WAV codec, stdlib struct + numpy) ------------
 
-def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Audio feature extraction stub: the UDF signature/batching is the real
-    contract; the codec needs an external library."""
-    raise NotImplementedError(
-        "audio decode requires an external codec library (not in this image); "
-        "plumbing contract: binary column -> mapInPandas -> array<float> features"
+from ..functions.codecs import (  # noqa: E402  (grouped with their operators)
+    WAV_RATE,
+    decode_rvid_frame,
+    decode_rvid_header,
+    decode_wav,
+    encode_rvid,
+    encode_wav,
+    make_video,
+    make_waveform,
+)
+
+
+def with_audio_bytes(df: DataFrame, seconds: float = 0.5) -> DataFrame:
+    """Materialize a deterministic PCM-WAV ``audio`` binary column seeded by
+    ``phash`` (the audio stand-in for reading payloads from the lake; any
+    executor regenerates the ground truth for invariant checks)."""
+    n = int(WAV_RATE * seconds)
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(phash: pd.Series) -> pd.Series:
+        return pd.Series([encode_wav(make_waveform(int(p), n)) for p in phash])
+
+    return df.withColumn("audio", enc("phash"))
+
+
+_AUDIO_SCHEMA = (
+    "image_id string, duration_ms bigint, rms_x1000 bigint, "
+    "zero_crossings bigint, dominant_hz bigint, pcm_ok boolean"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads and emit features per row: duration, RMS level,
+    zero-crossing count, dominant frequency (rfft argmax), plus the
+    lossless-PCM invariant (decoded samples == regenerated ground truth)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(r.audio)
+                ref = make_waveform(int(r.phash), len(samples), rate)
+                x = samples.astype(np.float64) / 32768.0
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                dom = float(np.argmax(spec)) * rate / len(x)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "duration_ms": int(len(x) * 1000 // rate),
+                        "rms_x1000": int(
+                            np.floor(np.sqrt((x * x).mean()) * 1000.0 + 0.5)
+                        ),
+                        "zero_crossings": int((np.diff(np.signbit(x)) != 0).sum()),
+                        "dominant_hz": int(np.floor(dom + 0.5)),
+                        "pcm_ok": bool(np.array_equal(samples, ref)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "phash", "audio").mapInPandas(
+        gen, schema=_AUDIO_SCHEMA
     )
 
 
-def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover - stub
-    """Video frame sampling stub (same contract: binary -> exploded frames)."""
-    raise NotImplementedError(
-        "video decode requires an external codec library (not in this image); "
-        "plumbing contract: binary column -> mapInPandas -> one row per frame"
-    )
+# --- video modality (RVID packed raw frames, random-access sampling) -------
+
+
+def with_video_bytes(df: DataFrame, n_frames: int = 24, w: int = 32, h: int = 20) -> DataFrame:
+    """Materialize a deterministic ``video`` binary column (RVID clip seeded
+    by ``phash``)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(phash: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_rvid(make_video(int(p), n_frames, w, h)) for p in phash]
+        )
+
+    return df.withColumn("video", enc("phash"))
+
+
+_FRAME_SCHEMA = (
+    "image_id string, frame_idx int, n_frames int, ts_ms bigint, "
+    "mean_x1000 bigint, frame_bytes binary"
+)
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
+    """One output row per sampled frame (every ``every_n``-th): frame index,
+    clip-relative timestamp, pixel stats, and the frame re-encoded as a raw
+    image payload (feeding the image pipeline downstream). Frames decode by
+    RANDOM ACCESS into the payload — a task never materializes a whole clip
+    beyond its sampled frames."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n, w, h, fps = decode_rvid_header(r.video)
+                for idx in range(0, n, every_n):
+                    frame = decode_rvid_frame(r.video, idx)
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "frame_idx": idx,
+                            "n_frames": n,
+                            "ts_ms": int(idx * 1000 // fps),
+                            "mean_x1000": int(
+                                np.floor(frame.mean() * 1000.0 + 0.5)
+                            ),
+                            "frame_bytes": encode_image(frame, "raw"),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "video").mapInPandas(gen, schema=_FRAME_SCHEMA)

@@ -482,6 +482,45 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def sql_asof_join() -> str:
+    """Backward-inclusive as-of join, checked with DuckDB's NATIVE ASOF
+    LEFT JOIN (the Spark side composes union + window forward-fill)."""
+    return """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+su AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS v
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+signups AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS signup_value_x1000,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS signup_s
+  FROM su
+)
+SELECT p.event_id, p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_s,
+       s.signup_value_x1000 AS asof_signup_value_x1000,
+       s.signup_s AS asof_signup_s
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def sql_token_topk(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+r AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS "rank" FROM c
+)
+SELECT "rank", token, CAST(n AS BIGINT) AS n FROM r WHERE "rank" <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 4: path parsing / href / tile cover / range join / window oracles
 # ---------------------------------------------------------------------------

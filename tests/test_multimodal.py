@@ -74,8 +74,67 @@ def test_image_embedding_normalized(encoded):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
-def test_stubs_raise_not_implemented(encoded):
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(encoded)
-    with pytest.raises(NotImplementedError):
-        multimodal.video_frame_sample(encoded)
+def test_audio_features_invariants(spark):
+    """PCM round-trip is lossless on every row; duration matches the synth
+    length; dominant frequency lands on one of the two seeded tones."""
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+
+    imgs = multimodal.with_audio_bytes(
+        synth.images(spark, "/root/testdata/sf0.001").limit(40), seconds=0.5
+    )
+    rows = multimodal.audio_features(imgs).collect()
+    assert len(rows) == 40
+    assert all(r.pcm_ok for r in rows)
+    assert all(r.duration_ms == 500 for r in rows)
+    assert all(100 <= r.dominant_hz <= 1500 for r in rows)
+    assert all(r.rms_x1000 > 100 for r in rows)  # tones, not silence
+
+
+def test_audio_dominant_frequency_tracks_seed(spark):
+    """dominant_hz must equal the stronger seeded tone (f1) within one FFT
+    bin for a pure synthetic seed."""
+    import numpy as np
+
+    from stac_catalog_builder_spark.functions.codecs import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+        make_waveform,
+    )
+
+    seed = 987654
+    f1 = 200.0 + (seed % 1200)
+    samples, rate = decode_wav(encode_wav(make_waveform(seed, WAV_RATE)))
+    spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    spec[0] = 0
+    dom = np.argmax(spec) * rate / len(samples)
+    assert abs(dom - f1) <= rate / len(samples) + 0.5
+
+
+def test_video_frame_sampling_exact(spark):
+    """Sampled frames decode bit-exactly to the synthesized clip frames, in
+    order, with correct timestamps; the re-encoded raw payload feeds the
+    image decoder."""
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.functions.codecs import decode_image, make_video
+    from stac_catalog_builder_spark.operators import multimodal
+    import numpy as np
+
+    imgs = multimodal.with_video_bytes(
+        synth.images(spark, "/root/testdata/sf0.001").limit(10),
+        n_frames=24, w=32, h=20,
+    )
+    out = multimodal.video_frame_sample(imgs, every_n=8)
+    rows = out.orderBy("image_id", "frame_idx").collect()
+    assert len(rows) == 10 * 3  # frames 0, 8, 16
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r.image_id, []).append(r)
+    phash = {r.image_id: r.phash for r in imgs.select("image_id", "phash").collect()}
+    for image_id, rs in by_img.items():
+        assert [r.frame_idx for r in rs] == [0, 8, 16]
+        assert [r.ts_ms for r in rs] == [0, 800, 1600]
+        clip = make_video(int(phash[image_id]), 24, 32, 20)
+        for r in rs:
+            assert np.array_equal(decode_image(r.frame_bytes, "raw"), clip[r.frame_idx])
