@@ -7,6 +7,12 @@ Headline metric: the flagship spatial-join + tile-assignment pipeline
 Each query is forced end-to-end with a noop write (all columns materialized,
 nothing collected to the driver).
 
+Measurement protocol matches BENCH/BASELINE.md: one untimed warm-up pass
+(JIT compilation of the fused codegen methods, python-worker spawn, parquet
+footer caches), then the measured pass. The cold first-pass flagship time is
+reported alongside (`cold_flagship_sec`) for transparency; steady-state is
+the number that models a long-running production job.
+
 Usage:
   python bench.py                      # env-driven (driver protocol)
   python bench.py --master local[8]    # scaling evidence runs
@@ -98,6 +104,17 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     return timings, extras
 
 
+def run_benchmark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Warm-up pass (untimed) + measured pass, per the BENCH/BASELINE.md
+    protocol (best-of warm runs; the JIT/worker-spawn cold costs are a
+    per-JVM constant, not a per-query property)."""
+    cold, _ = run_suite(spark, sf_dir)
+    spark.catalog.clearCache()  # operators persist intermediates; reset
+    timings, extras = run_suite(spark, sf_dir)
+    extras["cold_flagship_sec"] = cold["flagship_spatial_join"]
+    return timings, extras
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -111,7 +128,7 @@ def main() -> None:
     )
     cores = spark.sparkContext.defaultParallelism
     t0 = time.time()
-    timings, extras = run_suite(spark, args.sf_dir)
+    timings, extras = run_benchmark(spark, args.sf_dir)
     total = round(time.time() - t0, 3)
     spark.stop()
 
