@@ -53,21 +53,48 @@ def with_encoded_bytes(df: DataFrame) -> DataFrame:
 
 _STATS_SCHEMA = (
     "image_id string, fmt string, mean_x1000 bigint, std_x1000 bigint, "
-    "px_w int, px_h int, pixel_ok boolean, caption_ok boolean"
+    "px_w int, px_h int, pixel_ok boolean, caption_ok boolean, "
+    "decode_ok boolean, decode_error string"
 )
 
 
-def decode_stats(df: DataFrame) -> DataFrame:
+def decode_stats(df: DataFrame, permissive: bool = True) -> DataFrame:
     """Decode every image and emit pixel stats + the per-row invariants the
     driver gate demands (BASELINE.json input_hint): decoded pixels allclose
     to the reference raster (exact for raw/png, PSNR>=40dB for dct) and
-    exact caption equality vs the deterministic template."""
+    exact caption equality vs the deterministic template.
+
+    ``permissive`` (default, the production posture for web-scale corpora):
+    corrupt payloads are QUARANTINED — the row comes back with
+    ``decode_ok=false`` and the error string, stats NULL — instead of
+    failing the task (one bad blob in a 10^12-row corpus must not kill the
+    job). ``permissive=False`` re-raises (fail-fast for curated inputs).
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = decode_image(r.bytes, r.fmt)
+                try:
+                    arr = decode_image(r.bytes, r.fmt)
+                except Exception as ex:  # corrupt payload
+                    if not permissive:
+                        raise
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "fmt": r.fmt,
+                            "mean_x1000": None,
+                            "std_x1000": None,
+                            "px_w": None,
+                            "px_h": None,
+                            "pixel_ok": False,
+                            "caption_ok": bool(r.caption == r.caption_expected),
+                            "decode_ok": False,
+                            "decode_error": f"{type(ex).__name__}: {ex}"[:200],
+                        }
+                    )
+                    continue
                 ref = make_raster(int(r.phash), int(r.w), int(r.h))
                 if r.fmt in ("raw", "png"):
                     ok = bool(np.array_equal(arr, ref))
@@ -83,6 +110,8 @@ def decode_stats(df: DataFrame) -> DataFrame:
                         "px_h": arr.shape[0],
                         "pixel_ok": ok,
                         "caption_ok": bool(r.caption == r.caption_expected),
+                        "decode_ok": True,
+                        "decode_error": None,
                     }
                 )
             yield pd.DataFrame(rows)

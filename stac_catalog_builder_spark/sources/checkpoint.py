@@ -175,6 +175,7 @@ class SnapshotStore:
         snap = {
             "ts": time.time(),
             "stage": stage,
+            "part_col": part_col,
             "note": snapshot_note,
             "partitions": [k for k, _ in mrows] if mrows else new_keys,
         }
@@ -194,6 +195,28 @@ class SnapshotStore:
         if not p.exists():
             return []
         return [json.loads(line) for line in p.read_text().splitlines() if line]
+
+    def read_stage_as_of(
+        self, spark: SparkSession, stage: str, snapshot: int
+    ) -> DataFrame:
+        """Partition-set time travel: read the stage restricted to the
+        partitions committed by snapshots 0..``snapshot`` (inclusive).
+
+        Semantics note (honest scope): dynamic overwrite rewrites a
+        partition's files in place, so a partition recommitted AFTER the
+        chosen snapshot reads back with its latest contents — this is
+        Hive-style partition-set isolation (exactly what append-only
+        resumable pipelines need), not full multi-version Iceberg MVCC.
+        Partition pruning keeps the read to only the chosen directories.
+        """
+        snaps = self.snapshots(stage)
+        if not -len(snaps) <= snapshot < len(snaps):
+            raise IndexError(f"stage {stage!r} has {len(snaps)} snapshots")
+        chosen = snaps[: (snapshot % len(snaps)) + 1]
+        parts = sorted({p for s in chosen for p in s["partitions"]})
+        part_col = chosen[-1].get("part_col", "part_key")
+        df = self.read_stage(spark, stage)
+        return df.where(F.col(part_col).isin(parts))
 
 
 def run_resumable(

@@ -101,6 +101,25 @@ def test_crash_retry_is_exactly_once(spark, store):
     assert m == {"1": 10}  # metrics committed exactly once too
 
 
+def test_read_stage_as_of_partition_sets(spark, store):
+    """Snapshot N restricts the read to partitions committed by snapshots
+    0..N (partition-set time travel for resumable pipelines)."""
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "part_key string, v int")
+    df2 = spark.createDataFrame([("c", 3)], "part_key string, v int")
+    store.write_stage(df1, "s6", "part_key", snapshot_note="first")
+    store.write_stage(df2, "s6", "part_key", snapshot_note="second")
+
+    at0 = store.read_stage_as_of(spark, "s6", 0)
+    assert sorted(r.part_key for r in at0.collect()) == ["a", "b"]
+    at1 = store.read_stage_as_of(spark, "s6", 1)
+    assert sorted(r.part_key for r in at1.collect()) == ["a", "b", "c"]
+    assert at1.count() == store.read_stage(spark, "s6").count()
+    import pytest
+
+    with pytest.raises(IndexError):
+        store.read_stage_as_of(spark, "s6", 5)
+
+
 def test_snapshot_log_appends(spark, store):
     df = spark.range(4).select(
         F.lit("a").alias("part_key"), F.col("id").alias("v")

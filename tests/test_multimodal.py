@@ -138,3 +138,34 @@ def test_video_frame_sampling_exact(spark):
         clip = make_video(int(phash[image_id]), 24, 32, 20)
         for r in rs:
             assert np.array_equal(decode_image(r.frame_bytes, "raw"), clip[r.frame_idx])
+
+
+def test_decode_quarantine_permissive(spark):
+    """A corrupt payload must not kill the task: the row comes back flagged
+    with decode_ok=false and the error string, every other row unaffected;
+    permissive=False fails fast instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, "/root/testdata/sf0.001")).limit(20)
+    )
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == "img_00000003", F.lit(b"\x00garbage")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    rows = {r.image_id: r for r in multimodal.decode_stats(corrupted).collect()}
+    assert len(rows) == 20
+    bad = rows["img_00000003"]
+    assert not bad.decode_ok and bad.decode_error and bad.mean_x1000 is None
+    good = [r for k, r in rows.items() if k != "img_00000003"]
+    assert all(r.decode_ok and r.pixel_ok for r in good)
+
+    with pytest.raises(Exception):
+        multimodal.decode_stats(corrupted, permissive=False).collect()
