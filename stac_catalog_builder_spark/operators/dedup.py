@@ -70,13 +70,13 @@ def _exact_collapse(
     connectivity with O(group) rows instead of the O(group^2) an LSH bucket
     of identical texts would emit — THE hot-bucket pathology at 100 TB.
     """
-    from pyspark.sql import Window
-
     hashed = df.select(key_col, text_col, F.md5(F.col(text_col)).alias("_ch"))
-    # one shuffle: min-key over a whole-group window (a groupBy+join back
-    # would shuffle twice; collect_list of members would not survive a
-    # 10^9-row duplicate group)
-    members = hashed.withColumn("_rep", F.min(key_col).over(Window.partitionBy("_ch")))
+    # groupBy + join back, NOT a whole-group window: the aggregate combines
+    # map-side (a 10^9-row duplicate group ships one partial per task, not
+    # 10^9 rows into one window task) and AQE skew-join splits the hot _ch
+    # on the join; collect_list of members would not survive either
+    reps_key = hashed.groupBy("_ch").agg(F.min(key_col).alias("_rep"))
+    members = hashed.join(reps_key, "_ch")
     star = members.where(F.col(key_col) != F.col("_rep")).select(
         F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
     )
@@ -89,18 +89,20 @@ def _salt_hot_buckets(
 ) -> DataFrame:
     """Split buckets larger than ``max_bucket`` into deterministic salted
     sub-buckets (pairs survive only within a sub-bucket). Bucket sizes come
-    from a count window over the SAME bucket key the join shuffles on — no
-    separate aggregation pass or broadcast-back stage. Bounds within-bucket
-    pair output at O(n * max_bucket) instead of O(n^2). The split is
-    observable, not silent: callers can diff candidate counts, and exact
-    duplicates never reach here (collapsed upstream)."""
-    from pyspark.sql import Window
-
-    bn = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    salt = F.when(bn <= max_bucket, F.lit(0)).otherwise(
-        F.pmod(F.xxhash64(F.col(key_col)), F.ceil(bn / F.lit(max_bucket)))
+    from a map-side-combined count whose OVERSIZED subset (tiny: at most
+    total/max_bucket entries) broadcasts back — a count window over the
+    bucket key would instead shuffle the whole table into one task per hot
+    bucket, the very skew this guard exists for. Bounds within-bucket pair
+    output at O(n * max_bucket) instead of O(n^2). The split is observable,
+    not silent: callers can diff candidate counts, and exact duplicates
+    never reach here (collapsed upstream)."""
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    over = sizes.where(F.col("_bn") > max_bucket)
+    out = bucketed.join(F.broadcast(over), "bucket", "left")
+    salt = F.when(F.col("_bn").isNull(), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col(key_col)), F.ceil(F.col("_bn") / max_bucket))
     )
-    return bucketed.withColumn("salt", salt.cast("int"))
+    return out.withColumn("salt", salt.cast("int")).drop("_bn")
 
 
 def minhash_candidate_pairs(
@@ -250,14 +252,12 @@ def embedding_neardup_pairs(
     100 TB guards as the text LSH ops: byte-identical vectors (e.g. the
     all-zeros failure-mode embedding) collapse to star pairs at cosine 1.0
     instead of an O(b^2) bucket, and residual oversized buckets are salted."""
-    from pyspark.sql import Window
-
     hashed = emb.select(
         key_col, vec_col, F.md5(F.col(vec_col).cast("string")).alias("_ch")
     )
-    members = hashed.withColumn(
-        "_rep", F.min(key_col).over(Window.partitionBy("_ch"))
-    )
+    # same map-side-combined groupBy + skew-splittable join as _exact_collapse
+    reps_key = hashed.groupBy("_ch").agg(F.min(key_col).alias("_rep"))
+    members = hashed.join(reps_key, "_ch")
     star = members.where(F.col(key_col) != F.col("_rep")).select(
         F.col("_rep").alias("id_a"),
         F.col(key_col).alias("id_b"),
