@@ -524,6 +524,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-surface scrubbing: deterministic emails/URLs are injected per doc,
+    then masked (<EMAIL>/<URL>), whitespace collapsed, trimmed — pure JVM
+    regexp chain (patterns kept to the Java-regex/RE2 common subset)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.format_string(
+            "%s  contact user%d@example.com via https://example.org/d/%d  ",
+            F.col("text"), F.col("doc_id"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return textops.clean_text(docs)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    one row per chunk, short docs emit one chunk."""
+    return textops.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairing by exploded key sequence (equi-join — a band/theta
     condition would plan as a BroadcastNestedLoopJoin, O(N^2) at scale), then
@@ -794,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "text_clean": q_text_clean,
+        "doc_chunks": q_doc_chunks,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -848,6 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),
         "lang_id": oracles.sql_lang_id(),
+        "text_clean": oracles.sql_text_clean(),
+        "doc_chunks": oracles.sql_doc_chunks(chunk_tokens=64, overlap=16),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(max_gap=3),
         "ann_cosine_topk": oracles.sql_ann_cosine_topk(k=5, n_queries=20),
         "pricing_summary": oracles.sql_pricing_summary(),

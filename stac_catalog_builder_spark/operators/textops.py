@@ -93,3 +93,66 @@ def lang_id(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> D
         *[counts[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
         pred.alias("lang_pred"),
     )
+
+
+# regex patterns shared with the DuckDB oracle (kept to the syntax subset
+# Java regex and RE2 interpret identically)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Text scrubbing for training corpora: mask emails/URLs (PII surface),
+    collapse whitespace runs, trim — pure JVM regexp_replace chain, no UDF."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+                URL_RE,
+                "<URL>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(key_col),
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    pretraining-corpus shaping step): one output row per chunk, all pure JVM
+    (split -> sequence -> explode -> slice -> array_join). Short docs emit
+    one chunk. Chunk count per doc = ceil((n - overlap) / (chunk - overlap)),
+    floored at 1."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("bigint"), F.lit(1)
+    )
+    with_idx = df.select(
+        F.col(key_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return with_idx.select(
+        F.col(key_col),
+        F.col("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

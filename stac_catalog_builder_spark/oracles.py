@@ -327,6 +327,61 @@ FROM c
 """
 
 
+def sql_text_clean() -> str:
+    """Mirrors textops.clean_text + q_text_clean's injected PII surface.
+    DuckDB regexp_replace needs the 'g' flag for replace-all (Java regex
+    replaces all by default)."""
+    return """
+WITH injected AS (
+  SELECT doc_id,
+         printf('%s  contact user%d@example.com via https://example.org/d/%d  ',
+                text, doc_id, doc_id) AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM injected
+)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM cleaned
+"""
+
+
+def sql_doc_chunks(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Mirrors textops.chunk_documents: DuckDB 1-based inclusive list slicing
+    toks[a : a+chunk-1] == Spark slice(toks, a, chunk) (both truncate at the
+    end of the list)."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         GREATEST(CAST(CEIL((n - {overlap}) / CAST({step} AS DOUBLE)) AS BIGINT), 1)
+           AS n_chunks
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, t, CAST(u.chunk_idx AS INT) AS chunk_idx
+  FROM counted, UNNEST(generate_series(0, n_chunks - 1)) AS u(chunk_idx)
+)
+SELECT doc_id, chunk_idx,
+       len(t[chunk_idx * {step} + 1 : chunk_idx * {step} + {chunk_tokens}])
+         AS n_chunk_tokens,
+       array_to_string(t[chunk_idx * {step} + 1 : chunk_idx * {step} + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM exploded
+"""
+
+
 def sql_ngram_jaccard_pairs(max_gap: int = 3) -> str:
     return f"""
 WITH toks AS (
