@@ -524,6 +524,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir))
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (corpus length distribution per shard):
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation at (n-1)*q positions, so scaled outputs match bitwise."""
+    docs = _docs(spark, sf_dir)
+    qs = [(0.1, "p10"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    return (
+        docs.groupBy((F.col("doc_id") % 4).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.floor(F.expr(f"percentile(length(text), {q})") * 1000.0 + 0.5)
+                .cast("bigint")
+                .alias(f"{name}_x1000")
+                for q, name in qs
+            ],
+        )
+    )
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-surface scrubbing: deterministic emails/URLs are injected per doc,
     then masked (<EMAIL>/<URL>), whitespace collapsed, trimmed — pure JVM
@@ -814,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "text_clean": q_text_clean,
         "doc_chunks": q_doc_chunks,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -870,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.sql_token_stats(),
         "quality_score": oracles.sql_quality_score(),
         "lang_id": oracles.sql_lang_id(),
+        "doc_length_quantiles": oracles.sql_doc_length_quantiles(),
         "text_clean": oracles.sql_text_clean(),
         "doc_chunks": oracles.sql_doc_chunks(chunk_tokens=64, overlap=16),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(max_gap=3),

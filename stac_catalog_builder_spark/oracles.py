@@ -327,6 +327,23 @@ FROM c
 """
 
 
+def sql_doc_length_quantiles() -> str:
+    """Spark `percentile` == DuckDB `quantile_cont` (same (n-1)*q linear
+    interpolation) — verified bitwise on this corpus."""
+    cols = ",\n       ".join(
+        f"CAST(FLOOR(quantile_cont(length(text), {q}) * 1000.0 + 0.5) AS BIGINT)"
+        f" AS p{int(q * 100)}_x1000"
+        for q in (0.1, 0.5, 0.9, 0.99)
+    )
+    return f"""
+SELECT doc_id % 4 AS shard,
+       COUNT(*) AS n_docs,
+       {cols}
+FROM documents
+GROUP BY 1
+"""
+
+
 def sql_text_clean() -> str:
     """Mirrors textops.clean_text + q_text_clean's injected PII surface.
     DuckDB regexp_replace needs the 'g' flag for replace-all (Java regex

@@ -103,6 +103,34 @@ def run_sessions_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in streaming dedup: one row per key while the key's state lives
+    within the watermark (Spark evicts state after it) — the watermark-aware
+    complement of streaming/stateful.py's custom applyInPandasWithState
+    dedup (which keeps its seen-set forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_dedup_to_memory(
+    spark: SparkSession, src_path: str, keys: list[str],
+    query_name: str = "events_dedup",
+) -> DataFrame:
+    agg = dedup_within_watermark(read_event_stream(spark, src_path), keys)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_to_memory(
     spark: SparkSession, src_path: str, query_name: str = "events_rollup"
 ) -> DataFrame:

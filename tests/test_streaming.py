@@ -75,6 +75,23 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """Built-in dropDuplicatesWithinWatermark: exactly one row per key
+    survives (count matches the batch countDistinct), and unique keys pass
+    through untouched."""
+    out = streaming_events.run_dedup_to_memory(
+        spark, events_dir, ["user_id", "event_type"], "t_dedup"
+    )
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want = batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == want
+    # unique key -> passthrough
+    out2 = streaming_events.run_dedup_to_memory(
+        spark, events_dir, ["event_id"], "t_dedup_id"
+    )
+    assert out2.count() == batch.count()
+
+
 def test_streaming_foreach_batch_to_store(spark, events_dir, tmp_path):
     store = SnapshotStore(tmp_path / "ckpt")
     streaming_events.run_foreach_batch_to_store(spark, events_dir, store)
