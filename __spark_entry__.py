@@ -544,6 +544,12 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signal: per-doc top-bigram share
+    (explode -> two-level aggregation, map-side combined)."""
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-surface scrubbing: deterministic emails/URLs are injected per doc,
     then masked (<EMAIL>/<URL>), whitespace collapsed, trimmed — pure JVM
@@ -835,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "repetition_stats": q_repetition_stats,
         "text_clean": q_text_clean,
         "doc_chunks": q_doc_chunks,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -892,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.sql_quality_score(),
         "lang_id": oracles.sql_lang_id(),
         "doc_length_quantiles": oracles.sql_doc_length_quantiles(),
+        "repetition_stats": oracles.sql_repetition_stats(),
         "text_clean": oracles.sql_text_clean(),
         "doc_chunks": oracles.sql_doc_chunks(chunk_tokens=64, overlap=16),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(max_gap=3),

@@ -114,7 +114,12 @@ def _haversine_udf():
 
 
 def knn_join_cellring(
-    images: DataFrame, queries: DataFrame, k: int, res: int = 7, ring_radius: int = 16
+    images: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 7,
+    ring_radius: int = 16,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Exact kNN via a one-shot hex-cell ring broadcast join.
 
@@ -133,6 +138,10 @@ def knn_join_cellring(
     full-scan fallback (measured 4.7x slower end-to-end at radius 8 vs 16 on
     the synthetic density); candidates grow only quadratically in radius
     while staying a tiny fraction of the scan.
+
+    ``cell_col`` names a PRECOMPUTED hex cell column at ``res`` (the
+    production shape: the lake table stores the cell, the scan prunes on it
+    and no per-call UDF pass runs). Without it the cell derives on the fly.
     """
     spark = images.sparkSession
     queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
@@ -162,12 +171,12 @@ def knn_join_cellring(
     ring_df = spark.createDataFrame(pairs, "query_id string, cell bigint")
     qdim = spark.createDataFrame(queries_pdf)
 
-    fact = images.select(
-        "image_id",
-        "lon",
-        "lat",
-        hex_cell_udf(res)(F.col("lon"), F.col("lat")).alias("cell"),
+    cell = (
+        F.col(cell_col)
+        if cell_col is not None
+        else hex_cell_udf(res)(F.col("lon"), F.col("lat"))
     )
+    fact = images.select("image_id", "lon", "lat", cell.alias("cell"))
     cand = fact.join(F.broadcast(ring_df), "cell").join(F.broadcast(qdim), "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("image_id"))
     ranked = (

@@ -156,3 +156,29 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the share of the most frequent bigram
+    among all bigrams (boilerplate/spam detector). Pure JVM: slice+zip_with
+    builds bigrams, explode + two-level aggregation counts them (map-side
+    partial agg; never a per-doc Python loop). Single-token docs have no
+    bigrams and drop out (same semantics as the oracle)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = df.select(F.col(key_col), F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy(key_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(key_col).agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_n"),
+        F.floor(F.max("c") * 1000.0 / F.sum("c") + 0.5)
+        .cast("bigint")
+        .alias("top_share_x1000"),
+    )

@@ -327,6 +327,25 @@ FROM c
 """
 
 
+def sql_repetition_stats() -> str:
+    """Top-bigram share per doc (list_zip gives unnamed structs in DuckDB —
+    numeric index extraction). Single-token docs have no bigrams and drop
+    out on both engines."""
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS bigram
+  FROM toks, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+),
+c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+       CAST(FLOOR(MAX(c) * 1000.0 / SUM(c) + 0.5) AS BIGINT) AS top_share_x1000
+FROM c GROUP BY doc_id
+"""
+
+
 def sql_doc_length_quantiles() -> str:
     """Spark `percentile` == DuckDB `quantile_cont` (same (n-1)*q linear
     interpolation) — verified bitwise on this corpus."""

@@ -1,0 +1,28 @@
+"""kNN operator tests beyond the driver oracle: the precomputed-cell fast
+path must produce the same rows as the on-the-fly derivation."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from stac_catalog_builder_spark import synth
+from stac_catalog_builder_spark.functions.cells import hex_cell_udf
+from stac_catalog_builder_spark.operators.knn import knn_join, knn_join_cellring
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df) -> set:
+    return {(r.query_id, r.rank, r.image_id) for r in df.collect()}
+
+
+def test_cellring_precomputed_cell_column_equivalent(spark):
+    images = e._images_fp(spark, SF)
+    queries = synth.knn_queries(spark, SF)
+    derived = knn_join_cellring(images, queries, k=5, res=6)
+    pre = images.withColumn("hex6", hex_cell_udf(6)(F.col("lon"), F.col("lat")))
+    precomputed = knn_join_cellring(pre, queries, k=5, res=6, cell_col="hex6")
+    brute = knn_join(images, queries, k=5)
+    assert _rows(derived) == _rows(precomputed) == _rows(brute)
