@@ -98,3 +98,50 @@ def test_points_in_polygons_pairs():
     assert points_in_polygons_np(px, py, idx, polys).tolist() == [
         True, True, False, False,
     ]
+
+
+def test_spatial_join_nonrectangular_polygons(spark):
+    """End-to-end generality: the cover-classified broadcast join + unrolled
+    JVM ray cast must handle a triangle and a CONCAVE L-shape exactly (the
+    synthetic boundary grid is rectangles; the kernel is not)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.functions.geo import point_in_polygon_np
+    from stac_catalog_builder_spark.operators.spatial_join import spatial_join_pip
+
+    tri_x, tri_y = np.array([0.0, 10.0, 5.0]), np.array([0.0, 0.0, 8.0])
+    # L-shape (concave hexagon)
+    l_x = np.array([20.0, 30.0, 30.0, 26.0, 26.0, 20.0])
+    l_y = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])
+    polys = [
+        {"ring_x": tri_x, "ring_y": tri_y, "tile_id": "tri", "collection_id": "c"},
+        {"ring_x": l_x, "ring_y": l_y, "tile_id": "ell", "collection_id": "c"},
+    ]
+    # deterministic probe grid over both shapes + surroundings
+    xs = np.linspace(-1.05, 31.03, 60)
+    ys = np.linspace(-1.07, 11.02, 40)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    df = spark.createDataFrame(
+        [(f"p{i:05d}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "image_id string, lon double, lat double",
+    )
+    got = {
+        (r.image_id, r.tile_id)
+        for r in spatial_join_pip(df, polys, cover_res=5).collect()
+    }
+    want = set()
+    for name, (vx, vy) in (("tri", (tri_x, tri_y)), ("ell", (l_x, l_y))):
+        inside = point_in_polygon_np(pts[:, 0], pts[:, 1], vx, vy)
+        want |= {(f"p{i:05d}", name) for i in np.nonzero(inside)[0]}
+    assert got == want
+    # sanity on the concavity: the L-shape's notch (x in (26,30), y in (4,10))
+    # must be OUTSIDE
+    notch_ids = {
+        f"p{i:05d}"
+        for i, (x, y) in enumerate(pts)
+        if 26.1 < x < 29.9 and 4.1 < y < 9.9
+    }
+    assert notch_ids and not {t for t in got if t[0] in notch_ids and t[1] == "ell"}
+    assert len({t for t in got if t[1] == "tri"}) > 50  # plenty inside
