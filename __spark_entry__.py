@@ -653,6 +653,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qs, k=5).select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: cosine top-k over int8-quantized embeddings (4x storage
+    cut; recall >= 0.9 vs exact float top-k is pytest-gated)."""
+    emb = _emb(spark, sf_dir)
+    q8 = similarity.quantize_embeddings(emb)
+    deq = q8.select(
+        "vec_id",
+        similarity.dequantize_col(F.col("q_codes"), F.col("q_scale")).alias(
+            "embedding"
+        ),
+    )
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(deq, qs, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: inject scaled copies (cosine==1) and find them via
     hyperplane-LSH buckets + exact verify."""
@@ -850,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "pricing_summary": q_pricing_summary,

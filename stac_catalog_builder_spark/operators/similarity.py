@@ -186,6 +186,37 @@ def ann_lsh_topk(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x the storage (and shuffle
+    bytes) of float32 at 10^12-vector scale. Pure JVM: per-row max-abs scale,
+    ``transform`` to tinyint codes. ``dequantize_col`` restores approximate
+    floats; cosine top-k recall on the synthetic corpus is pytest-gated."""
+    assert bits == 8, "int8 is the supported code width"
+    scale = F.greatest(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        ),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    return emb.withColumn("q_scale", scale).withColumn(
+        "q_codes",
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") / F.col("q_scale") + 0.5).cast(
+                "tinyint"
+            ),
+        ),
+    )
+
+
+def dequantize_col(codes: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda c: (c.cast("double") * scale).cast("float"))
+
+
 def train_centroids_np(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
     """Deterministic Lloyd's k-means on a driver-side sample (IVF codebook)."""
     rng = np.random.default_rng(42)

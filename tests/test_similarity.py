@@ -85,3 +85,37 @@ def test_embedding_neardup_finds_scaled_copies(emb):
     ids = [r.vec_id for r in base.collect()]
     for i in ids:
         assert (i, i + 100000) in found  # positive scaling keeps the bucket
+
+
+def test_int8_quantization_preserves_topk_recall(spark):
+    """int8-quantized embeddings (4x storage cut) must keep cosine top-5
+    recall >= 0.9 against exact float top-5 on the synthetic corpus, and the
+    codes must actually be int8 with per-vector scales."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    assert dict(q.dtypes)["q_codes"] == "array<tinyint>"
+    deq = q.select(
+        "vec_id",
+        dequantize_col(F.col("q_codes"), F.col("q_scale")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(deq, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
