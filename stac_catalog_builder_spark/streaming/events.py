@@ -103,6 +103,61 @@ def run_sessions_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def interval_join(purchases: DataFrame, signups: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch: same expression) interval inner join:
+    each purchase joins the same user's signups from the preceding hour.
+    In streaming, the watermarks bound both sides' join state — Spark evicts
+    buffered rows once no future match is possible."""
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    s = signups.select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", "2 hours")
+        s = s.withWatermark("s_ts", "2 hours")
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("s_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "signup_id",
+        F.unix_timestamp("p_ts").alias("p_s"),
+        F.unix_timestamp("s_ts").alias("s_s"),
+    )
+
+
+def run_interval_join_to_memory(
+    spark: SparkSession, src_path: str, query_name: str = "events_ssjoin"
+) -> DataFrame:
+    ev1 = read_event_stream(spark, src_path)
+    ev2 = read_event_stream(spark, src_path)
+    out = interval_join(
+        ev1.where(F.col("event_type") == "purchase"),
+        ev2.where(F.col("event_type") == "signup"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -92,6 +92,23 @@ def test_streaming_dedup_within_watermark(spark, events_dir):
     assert out2.count() == batch.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (watermark-bounded state) == the same
+    join expression over the batch table."""
+    from pyspark.sql import functions as F
+
+    out = streaming_events.run_interval_join_to_memory(spark, events_dir)
+    got = {(r.user_id, r.purchase_id, r.signup_id) for r in out.collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want_df = streaming_events.interval_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "signup"),
+    )
+    want = {(r.user_id, r.purchase_id, r.signup_id) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_foreach_batch_to_store(spark, events_dir, tmp_path):
     store = SnapshotStore(tmp_path / "ckpt")
     streaming_events.run_foreach_batch_to_store(spark, events_dir, store)
