@@ -60,17 +60,22 @@ def with_minhash(df: DataFrame, text_col: str = "text", bands: int = 16) -> Data
 
 
 def _exact_collapse(
-    df: DataFrame, key_col: str, text_col: str
+    df: DataFrame, key_col: str, payload_col: str, hash_expr=None
 ) -> tuple[DataFrame, DataFrame]:
-    """Collapse byte-identical texts to one representative (min key).
+    """Collapse exactly-identical payloads to one representative (min key).
 
-    -> (reps, star_pairs): ``reps`` has one row per distinct text;
+    -> (reps, star_pairs): ``reps`` has one row per distinct payload;
     ``star_pairs`` links each representative to its other group members
     (id_a=rep < id_b=member). Star expansion preserves duplicate-group
     connectivity with O(group) rows instead of the O(group^2) an LSH bucket
-    of identical texts would emit — THE hot-bucket pathology at 100 TB.
+    of identical payloads would emit — THE hot-bucket pathology at 100 TB.
+    ``hash_expr`` customizes the identity hash (default: md5 of the payload
+    column; embeddings hash their string form).
     """
-    hashed = df.select(key_col, text_col, F.md5(F.col(text_col)).alias("_ch"))
+    if hash_expr is None:
+        hash_expr = F.md5(F.col(payload_col))
+    text_col = payload_col
+    hashed = df.select(key_col, text_col, hash_expr.alias("_ch"))
     # groupBy + join back, NOT a whole-group window: the aggregate combines
     # map-side (a 10^9-row duplicate group ships one partial per task, not
     # 10^9 rows into one window task) and AQE skew-join splits the hot _ch
@@ -122,16 +127,17 @@ def minhash_candidate_pairs(
     splits the shuffle but NOT the O(b^2) pair output — this does).
     """
     reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
-    # persist the salted (key, bucket, salt) table: it feeds both sides of
-    # the self-join — without it the signature UDF would run twice (at scale
-    # this is the materialized signature-table stage of any LSH pipeline)
-    b = _salt_hot_buckets(
-        with_minhash(reps, text_col, bands).select(
-            key_col, F.explode("band_keys").alias("bucket")
-        ),
-        key_col,
-        max_bucket,
-    ).persist()
+    # persist the PRE-salt (key, bucket) table: it feeds the bucket-size
+    # aggregation AND both self-join sides — persisting above the salting
+    # join would leave the signature UDF inside the cached plan's own sizes
+    # subtree and run it twice (at scale this cache is the materialized
+    # signature-table stage of any LSH pipeline)
+    b = (
+        with_minhash(reps, text_col, bands)
+        .select(key_col, F.explode("band_keys").alias("bucket"))
+        .persist()
+    )
+    b = _salt_hot_buckets(b, key_col, max_bucket)
     left = b.alias("l")
     right = b.alias("r")
     rep_pairs = (
@@ -191,7 +197,8 @@ def simhash_candidate_pairs(
     duplicates are collapsed to star pairs (hamming 0 by definition) before
     the block join, and oversized (blk, val) buckets are salted."""
     reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
-    sh = with_simhash(reps, text_col).select(key_col, "simhash")
+    # pre-salt persist, same reasoning as minhash_candidate_pairs
+    sh = with_simhash(reps, text_col).select(key_col, "simhash").persist()
     blocks = sh.select(
         key_col,
         "simhash",
@@ -211,7 +218,7 @@ def simhash_candidate_pairs(
         "simhash",
         (F.col("b.blk").cast("bigint") * F.lit(65536) + F.col("b.val")).alias("bucket"),
     )
-    blocks = _salt_hot_buckets(blocks, key_col, max_bucket).persist()
+    blocks = _salt_hot_buckets(blocks, key_col, max_bucket)
     l, r = blocks.alias("l"), blocks.alias("r")
     rep_pairs = (
         l.join(r, ["bucket", "salt"])
@@ -252,29 +259,23 @@ def embedding_neardup_pairs(
     100 TB guards as the text LSH ops: byte-identical vectors (e.g. the
     all-zeros failure-mode embedding) collapse to star pairs at cosine 1.0
     instead of an O(b^2) bucket, and residual oversized buckets are salted."""
-    hashed = emb.select(
-        key_col, vec_col, F.md5(F.col(vec_col).cast("string")).alias("_ch")
+    reps, star0 = _exact_collapse(
+        emb.select(key_col, vec_col),
+        key_col,
+        vec_col,
+        hash_expr=F.md5(F.col(vec_col).cast("string")),
     )
-    # same map-side-combined groupBy + skew-splittable join as _exact_collapse
-    reps_key = hashed.groupBy("_ch").agg(F.min(key_col).alias("_rep"))
-    members = hashed.join(reps_key, "_ch")
-    star = members.where(F.col(key_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"),
-        F.col(key_col).alias("id_b"),
-        F.lit(1.0).alias("cosine"),
-    )
-    reps = members.where(F.col(key_col) == F.col("_rep")).select(key_col, vec_col)
+    star = star0.withColumn("cosine", F.lit(1.0))
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.map(np.asarray).to_numpy())
         return pd.Series(hyperplane_sketch(m, n_planes))
 
-    b = _salt_hot_buckets(
-        reps.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket")),
-        key_col,
-        max_bucket,
-    )
+    # pre-salt persist: the bucket UDF + collapse would otherwise re-run for
+    # the size count and each self-join side
+    b = reps.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket")).persist()
+    b = _salt_hot_buckets(b, key_col, max_bucket)
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
         F.zip_with(

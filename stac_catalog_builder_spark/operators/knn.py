@@ -145,6 +145,10 @@ def knn_join_cellring(
     """
     spark = images.sparkSession
     queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
+    if queries_pdf.empty:
+        # no queries: the brute-force path returns an empty result with the
+        # right schema (the numpy bound math below needs >= 1 query row)
+        return knn_join(images, queries, k)
     q_lon = queries_pdf["qlon"].to_numpy()
     q_lat = queries_pdf["qlat"].to_numpy()
     q_cells = hex_cell_np(q_lon, q_lat, res)

@@ -76,7 +76,13 @@ def _cosine_partial_topk_gen(
             for d in range(qm.shape[1]):
                 acc = acc + qm[:, d][:, None] * nm[:, d][None, :]
             nn = np.sqrt(_leftfold_sq(nm))
-            cos = acc / (qn[:, None] * nn[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (qn[:, None] * nn[None, :])
+            # zero-norm vectors (the classic failure-mode embedding) produce
+            # NaN cosines; left as NaN they poison np.partition's k-th
+            # threshold and a batch would emit ZERO rows for that query —
+            # demote them below every real candidate instead
+            cos = np.where(np.isnan(cos), -np.inf, cos)
             cos = np.where(qids[:, None] == ids[None, :], -np.inf, cos)  # no self
             kk = min(k, cos.shape[1])
             kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]

@@ -36,23 +36,28 @@ def asof_join_backward(
     max_by/first, otherwise which tied row wins is nondeterministic.
     """
     payloads = payloads or [c for c in right.columns if c not in (key, right_ts)]
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = list(left.columns)
 
+    # the payload travels as ONE struct and is forward-filled atomically:
+    # filling each column independently with last(ignorenulls) would replace
+    # a legitimately-NULL field of the matching right row with a stale value
+    # from an OLDER right row (mixing fields across rows)
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in payloads])
     l_tag = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"_p_{c}") for c in payloads],
+        F.lit(None).alias("_p"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols if c != key],
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payloads],
-    ).select(*lcols, "_ts", "_side", *[f"_p_{c}" for c in payloads])
+        payload_struct.alias("_p"),
+    ).select(*lcols, "_ts", "_side", "_p")
+    l_tag = l_tag.withColumn("_p", F.lit(None).cast(dict(r_tag.dtypes)["_p"]))
 
     u = l_tag.unionByName(r_tag)
     w = (
@@ -60,8 +65,7 @@ def asof_join_backward(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payloads:
-        u = u.withColumn(f"asof_{c}", F.last(f"_p_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_asof", F.last("_p", ignorenulls=True).over(w))
     return u.where(F.col("_side") == 1).select(
-        *lcols, *[f"asof_{c}" for c in payloads]
+        *lcols, *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payloads]
     )

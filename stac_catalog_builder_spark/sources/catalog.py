@@ -110,7 +110,9 @@ def write_items_templated(items: DataFrame, root: str, template: str) -> int:
             target.write_text(json.dumps(d, default=str, sort_keys=True))
 
     with_path.foreachPartition(save_partition)
-    return len(list(Path(root_path).rglob("*.json")))
+    # count what THIS call wrote (an rglob over root would also count files
+    # from earlier runs or other stages sharing the tree)
+    return with_path.count()
 
 
 # ---------------------------------------------------------------------------

@@ -138,28 +138,24 @@ class SnapshotStore:
         # 1. data: dynamic partition overwrite (idempotent on crash-retry)
         _dynamic_overwrite(df, self._data_path(stage), part_col)
 
-        # 2. partitions just landed = on-disk keys minus committed lineage —
-        #    a driver-side directory listing, zero Spark jobs.
-        on_disk = sorted(
-            p.name.split("=", 1)[1]
-            for p in self._data_path(stage).glob(f"{part_col}=*")
-            if p.is_dir()
+        # 2+3. partitions just landed = read-back keys minus committed
+        #    lineage, with per-partition counts — ONE partition-column-only
+        #    scan (parquet metadata; never a recomputation of df's DAG).
+        #    Keys come from the read-back COLUMN VALUES, not directory names:
+        #    Hive escapes special characters (space, ':', '/', '%', '=') in
+        #    paths, so a directory listing would never match lineage's raw
+        #    values and such partitions would recommit forever.
+        readback = _read_keyed(spark, self._data_path(stage))
+        counts = (
+            readback.groupBy(F.col(part_col).alias("part_key"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
         )
-        new_keys = [k for k in on_disk if k not in already]
-
-        # 3. metrics from a file-level read-back of only the new partitions
-        #    (partition column scan = parquet metadata, NOT an upstream
-        #    recomputation of df's DAG).
-        mrows: list[tuple[str, int]] = []
+        mrows: list[tuple[str, int]] = [
+            (r.part_key, r.n_rows) for r in counts if r.part_key not in already
+        ]
+        new_keys = [k for k, _ in mrows]
         if new_keys:
-            readback = _read_keyed(spark, self._data_path(stage))
-            counts = (
-                readback.where(F.col(part_col).isin(new_keys))
-                .groupBy(F.col(part_col).alias("part_key"))
-                .agg(F.count(F.lit(1)).alias("n_rows"))
-                .collect()
-            )
-            mrows = [(r.part_key, r.n_rows) for r in counts]
             metrics_df = spark.createDataFrame(
                 [(k, n, stage) for k, n in mrows],
                 "part_key string, n_rows bigint, stage string",

@@ -57,6 +57,23 @@ def windowed_rollup(
     )
 
 
+def _run_to_memory_sink(
+    spark: SparkSession, df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Shared memory-sink harness: start, drain, stop, return the table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def session_rollup(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -90,17 +107,7 @@ def run_sessions_to_memory(
     watermark-finalized sessions emit; the caller appends a far-future
     sentinel file so every real session finalizes deterministically)."""
     agg = session_rollup(read_event_stream(spark, src_path))
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _run_to_memory_sink(spark, agg, query_name)
 
 
 def interval_join(purchases: DataFrame, signups: DataFrame) -> DataFrame:
@@ -145,17 +152,7 @@ def run_interval_join_to_memory(
         ev1.where(F.col("event_type") == "purchase"),
         ev2.where(F.col("event_type") == "signup"),
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _run_to_memory_sink(spark, out, query_name)
 
 
 def dedup_within_watermark(
@@ -173,17 +170,7 @@ def run_dedup_to_memory(
     query_name: str = "events_dedup",
 ) -> DataFrame:
     agg = dedup_within_watermark(read_event_stream(spark, src_path), keys)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _run_to_memory_sink(spark, agg, query_name)
 
 
 def run_to_memory(
@@ -192,17 +179,7 @@ def run_to_memory(
     """Drive the stream to completion synchronously (memory sink) — the
     pattern for deterministic streaming tests; returns the result table."""
     agg = windowed_rollup(read_event_stream(spark, src_path))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _run_to_memory_sink(spark, agg, query_name, output_mode="complete")
 
 
 def run_foreach_batch_to_store(

@@ -120,6 +120,26 @@ def test_read_stage_as_of_partition_sets(spark, store):
         store.read_stage_as_of(spark, "s6", 5)
 
 
+def test_partition_keys_with_special_characters_commit_once(spark, store):
+    """Hive escapes spaces/colons/percent in partition directory names; the
+    commit protocol must compare RAW values (read-back column, lineage), or
+    such partitions would never register as committed and recompute on
+    every resume."""
+    keys = ["2024-01-01 00:00:00", "a:b/c", "100%", "plain"]
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "part_key string, v int"
+    )
+    snap = store.write_stage(df, "s7", "part_key")
+    assert sorted(snap["partitions"]) == sorted(keys)
+    work = _work(spark, keys)
+    assert store.pending(work, spark, "s7", "part_key").count() == 0  # all committed
+    m = {r.part_key for r in store.metrics(spark, "s7").collect()}
+    assert m == set(keys)
+    # second write of the same partitions: committed set unchanged, no dupes
+    store.write_stage(df, "s7", "part_key")
+    assert store.read_stage(spark, "s7").count() == len(keys)
+
+
 def test_snapshot_log_appends(spark, store):
     df = spark.range(4).select(
         F.lit("a").alias("part_key"), F.col("id").alias("v")

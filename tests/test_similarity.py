@@ -119,3 +119,21 @@ def test_int8_quantization_preserves_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_cosine_topk_survives_zero_norm_vectors(spark):
+    """Zero-norm (failure-mode) embeddings produce NaN cosines; they must be
+    demoted, never poison the per-batch k-th threshold (which would silently
+    drop a query's real neighbors)."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.0, 0.0]),
+            (4, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk(emb.coalesce(1), qs, k=2).collect()
+    assert [(r.rank, r.neighbor_id) for r in got] == [(1, 1), (2, 4)]

@@ -39,6 +39,24 @@ def test_asof_backward_semantics(spark):
     assert out == {1: 20, 2: 20, 3: None, 4: 99, 5: None}
 
 
+def test_asof_null_payload_is_atomic(spark):
+    """A NULL field in the MATCHING right row must come through as NULL —
+    not be back-filled from an older right row (the payload is one struct,
+    filled atomically, matching DuckDB ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00")], "event_id long, user_id string, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 08:00:00", 10, 5),
+            ("u1", "2024-01-01 09:00:00", None, 7),  # latest: v NULL, w 7
+        ],
+        "user_id string, ts_s string, v int, w int",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v", "w")
+    r = asof_join_backward(left, right, key="user_id", payloads=["v", "w"]).collect()[0]
+    assert r.asof_v is None and r.asof_w == 7  # NOT (10, 7) mixed across rows
+
+
 def test_asof_preserves_left_cardinality(spark):
     left = spark.range(100).select(
         F.col("id").alias("event_id"),
