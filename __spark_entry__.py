@@ -654,8 +654,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: cosine top-k over int8-quantized embeddings (4x storage
-    cut; recall >= 0.9 vs exact float top-k is pytest-gated)."""
+    """Exact oracle: cosine top-k over int8-quantized embeddings (4x storage
+    cut). The quantize/dequantize chain is pure IEEE arithmetic (max-abs/127
+    scale, floor(x/scale+0.5) codes, float32 round-trip) so DuckDB replicates
+    it bit-for-bit; recall >= 0.9 vs exact float top-k is pytest-gated."""
     emb = _emb(spark, sf_dir)
     q8 = similarity.quantize_embeddings(emb)
     deq = q8.select(
@@ -668,7 +670,10 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return similarity.cosine_topk(deq, qs, k=5).select(
-        "query_id", "rank", "neighbor_id"
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000.0 + 0.5).cast("bigint").alias("cos_x1e6"),
     )
 
 
@@ -695,11 +700,18 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: encode the phash-seeded raster per row (raw/png), decode it
-    back, emit stats + the input_hint per-row invariants (pixel allclose +
-    caption equality). pytest asserts every pixel_ok/caption_ok is true."""
-    imgs = multimodal.with_encoded_bytes(_images_fp(spark, sf_dir).limit(500))
-    return multimodal.decode_stats(imgs)
+    """Exact oracle: encode the phash-seeded raster per row (raw/png), decode
+    it back, emit the input_hint per-row invariants (pixel allclose + caption
+    equality + decoded dims). The raw/png codecs are lossless so the oracle
+    predicts every invariant from first principles; a codec bug flips
+    pixel_ok/px_w and hash-mismatches. mean/std stats are pytest-verified
+    (raster synth is transcendental — not SQL-expressible)."""
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 2000)
+    )
+    return multimodal.decode_stats(imgs).select(
+        "image_id", "fmt", "px_w", "px_h", "pixel_ok", "caption_ok", "decode_ok"
+    )
 
 
 def q_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,7 +832,16 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver query registry.
+
+    ORDERING CONTRACT: the driver's correctness gate checks the first 50
+    entries.  Every query with an exact DuckDB oracle in ``oracle_sql()``
+    MUST come before every rows-only (no-oracle) query so the hard
+    rows+schema+hash signal covers the maximum number of components.
+    Enforced by ``tests/test_entry_parity.py::test_oracle_backed_first``.
+    """
     return {
+        # --- exact-oracle-backed (must all fit in the driver's 50-row window) ---
         "footprints": q_footprints,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
@@ -836,8 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_asset": q_first_asset,
         "tile_cover": q_tile_cover,
         "salted_extent": q_salted_extent,
-        "hex_cells": q_hex_cells,
-        "s2_cells": q_s2_cells,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "set_ops": q_set_ops,
@@ -851,10 +870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footprint_wkt": q_footprint_wkt,
         "json_extract": q_json_extract,
         "offset_limit": q_offset_limit,
-        "image_decode_stats": q_image_decode_stats,
-        "image_embedding_topk": q_image_embedding_topk,
-        "audio_features": q_audio_features,
-        "video_frame_sample": q_video_frame_sample,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -864,14 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "doc_chunks": q_doc_chunks,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -880,6 +888,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "asof_join": q_asof_join,
         "token_topk": q_token_topk,
+        "image_decode_stats": q_image_decode_stats,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        # --- rows-only (non-SQL-expressible; property-tested in pytest) ---
+        "hex_cells": q_hex_cells,
+        "s2_cells": q_s2_cells,
+        "image_embedding_topk": q_image_embedding_topk,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -932,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.sql_session_windows(gap_minutes=30),
         "asof_join": oracles.sql_asof_join(),
         "token_topk": oracles.sql_token_topk(k=50),
+        "image_decode_stats": oracles.sql_image_decode_stats(key_lt=2000),
+        "ann_quantized_topk": oracles.sql_ann_quantized_topk(k=5, n_queries=20),
         # no oracle (non-SQL-expressible -> rows-only checks):
-        # minhash_pairs, simhash_pairs, doc_fingerprint, embedding_neardup
+        # hex_cells, s2_cells, image_embedding_topk, audio_features,
+        # video_frame_sample, minhash_pairs, simhash_pairs, doc_fingerprint,
+        # ann_lsh_topk, ivf_topk, embedding_neardup
     }

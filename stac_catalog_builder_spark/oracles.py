@@ -928,3 +928,73 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def sql_image_decode_stats(key_lt: int = 2000) -> str:
+    """S2/S3 decode-invariant oracle: the raw/png codecs are LOSSLESS, so the
+    decode outcome of every synthetic payload is predictable from first
+    principles — decoded dims == (w, h), pixel_ok (exact array equality),
+    caption_ok, decode_ok all true. The Spark side actually encodes + decodes
+    every payload (mapInPandas, functions/codecs.py); a broken codec flips
+    pixel_ok/px_w and hash-mismatches. mean/std stats stay pytest-verified
+    (the raster synth uses transcendental exp + PCG noise — not SQL).
+    Reference analogue: per-file metadata extraction + validation
+    (metadata.py:199-236, mapper.py:157-164)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}
+SELECT image_id, fmt,
+       CAST(w AS INT) AS px_w, CAST(h AS INT) AS px_h,
+       TRUE AS pixel_ok, TRUE AS caption_ok, TRUE AS decode_ok
+FROM images WHERE img_key < {key_lt}
+"""
+
+
+def sql_ann_quantized_topk(k: int = 5, n_queries: int = 20) -> str:
+    """Int8-quantization + exact re-rank oracle: replicates
+    similarity.quantize_embeddings bit-for-bit (per-vector max-abs/127 scale,
+    floor(x/scale + 0.5) tinyint codes, float32 dequantize), then the same
+    left-fold cosine top-k as sql_ann_cosine_topk over the DEQUANTIZED
+    corpus vs the original float queries."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+        " (acc, v) -> acc + v)"
+    )
+    nrm = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, v) -> acc + v))"
+    cos = (
+        dot.format(a="qvec", b="nvec")
+        + " / (" + nrm.format(a="qvec") + " * " + nrm.format(a="nvec") + ")"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scaled AS (
+  SELECT vec_id AS neighbor_id, embedding,
+         greatest(
+           list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       (acc, v) -> greatest(acc, v)),
+           1e-30) / 127.0 AS q_scale
+  FROM embeddings
+),
+f AS (
+  SELECT neighbor_id,
+         CAST(list_transform(embedding,
+           x -> CAST(CAST(CAST(FLOOR(CAST(x AS DOUBLE) / q_scale + 0.5) AS TINYINT)
+                          AS DOUBLE) * q_scale AS FLOAT)) AS DOUBLE[]) AS nvec
+  FROM scaled
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine
+  FROM q CROSS JOIN f WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS "rank"
+  FROM scored
+)
+SELECT query_id, "rank", neighbor_id,
+       CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS cos_x1e6
+FROM ranked WHERE "rank" <= {k}
+"""

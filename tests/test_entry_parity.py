@@ -59,3 +59,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert {"collection_id", "tile_id", "n_assets"} <= set(df.columns)
+
+
+def test_oracle_backed_first():
+    """ORDERING CONTRACT: the driver's correctness gate checks only the first
+    50 queries() entries, so every oracle-backed query must precede every
+    rows-only query (and all oracle-backed entries must fit in the window)."""
+    names = list(entry_mod.queries().keys())
+    oracle = set(entry_mod.oracle_sql().keys())
+    assert oracle <= set(names), f"orphan oracles: {oracle - set(names)}"
+    last_oracle = max(i for i, n in enumerate(names) if n in oracle)
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if n not in oracle), default=len(names)
+    )
+    assert last_oracle < first_rows_only, (
+        "rows-only query listed before an oracle-backed one: "
+        f"{names[first_rows_only]} < {names[last_oracle]}"
+    )
+    assert last_oracle < 50, (
+        f"{last_oracle + 1} oracle-backed entries exceed the driver's 50-row window"
+    )
