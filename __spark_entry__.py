@@ -692,9 +692,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex-cell ring-expansion kNN — must produce the SAME rows as q_knn
-    (same oracle): the pruned path is exact, not approximate."""
+    (same oracle): the pruned path is exact, not approximate. max_abs_lat
+    comes from the synthetic lake's schema contract (lat in [-60, 60),
+    FIXTURES.md §1) — lake-statistics in place of a per-call full scan."""
     out = knn_join_cellring(
-        _images_fp(spark, sf_dir), synth.knn_queries(spark, sf_dir), k=5, res=6
+        _images_fp(spark, sf_dir),
+        synth.knn_queries(spark, sf_dir),
+        k=5,
+        res=6,
+        max_abs_lat=60.0,
     )
     return out.select("query_id", "rank", "image_id")
 

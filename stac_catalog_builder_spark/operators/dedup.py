@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import cache
 from ..functions.hashes import (
     batch_minhash_bands,
     batch_minhash_sigs,
@@ -71,6 +72,14 @@ def _exact_collapse(
     of identical payloads would emit — THE hot-bucket pathology at 100 TB.
     ``hash_expr`` customizes the identity hash (default: md5 of the payload
     column; embeddings hash their string form).
+
+    CONTRACT NOTE: downstream candidate sets become CONNECTIVITY-PRESERVING
+    (rep-expanded), not the full bucket-pair set — a duplicate-group member
+    pairs only with its representative, so a (member, external-near-dup)
+    pair is represented transitively via (rep, member) + (rep, external).
+    Correct for connected-components dedup (the consumer this engine
+    targets); consumers that score every raw pair directly should expand
+    member pairs from the star before scoring.
     """
     if hash_expr is None:
         hash_expr = F.md5(F.col(payload_col))
@@ -89,20 +98,41 @@ def _exact_collapse(
     return reps, star
 
 
+# Last-call salting stats per operator tag — the observable signal that
+# recall became approximate (ADVICE r2): {oversized_buckets, rows_in_oversized,
+# max_bucket}. Zero oversized buckets == the candidate set is exact.
+SALT_METRICS: dict[str, dict] = {}
+
+
 def _salt_hot_buckets(
-    bucketed: DataFrame, key_col: str, max_bucket: int
+    bucketed: DataFrame, key_col: str, max_bucket: int, tag: str = "default"
 ) -> DataFrame:
     """Split buckets larger than ``max_bucket`` into deterministic salted
-    sub-buckets (pairs survive only within a sub-bucket). Bucket sizes come
-    from a map-side-combined count whose OVERSIZED subset (tiny: at most
-    total/max_bucket entries) broadcasts back — a count window over the
-    bucket key would instead shuffle the whole table into one task per hot
-    bucket, the very skew this guard exists for. Bounds within-bucket pair
-    output at O(n * max_bucket) instead of O(n^2). The split is observable,
-    not silent: callers can diff candidate counts, and exact duplicates
-    never reach here (collapsed upstream)."""
+    sub-buckets (pairs survive only within a sub-bucket). Bounds
+    within-bucket pair output at O(n * max_bucket) instead of O(n^2) — the
+    hot-bucket guard at 100 TB. Exact duplicates never reach here (collapsed
+    upstream), so oversized buckets are *distinct* payloads colliding.
+
+    The oversized subset is tiny by construction (at most total/max_bucket
+    buckets), so it is collected driver-side: that makes the recall trade
+    OBSERVABLE — ``SALT_METRICS[tag]`` records how many buckets/rows were
+    split on this call (0 oversized => candidates exact) — and lets the
+    common all-buckets-small case skip the size join entirely. A count
+    window over the bucket key would instead shuffle the whole table into
+    one task per hot bucket, the very skew this guard exists for."""
     sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-    over = sizes.where(F.col("_bn") > max_bucket)
+    over_rows = sizes.where(F.col("_bn") > max_bucket).collect()
+    SALT_METRICS[tag] = {
+        "oversized_buckets": len(over_rows),
+        "rows_in_oversized": int(sum(r["_bn"] for r in over_rows)),
+        "max_bucket": max_bucket,
+    }
+    if not over_rows:
+        return bucketed.withColumn("salt", F.lit(0).cast("int"))
+    spark = bucketed.sparkSession
+    over = spark.createDataFrame(
+        [(r["bucket"], r["_bn"]) for r in over_rows], "bucket bigint, _bn bigint"
+    )
     out = bucketed.join(F.broadcast(over), "bucket", "left")
     salt = F.when(F.col("_bn").isNull(), F.lit(0)).otherwise(
         F.pmod(F.xxhash64(F.col(key_col)), F.ceil(F.col("_bn") / max_bucket))
@@ -117,27 +147,36 @@ def minhash_candidate_pairs(
     bands: int = 16,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b): docs sharing >=1 band bucket.
+    """LSH candidate pairs (id_a < id_b), CONNECTIVITY-PRESERVING: distinct
+    texts sharing >=1 band bucket pair directly; members of an exact-duplicate
+    group pair only with their group representative (star expansion — see
+    ``_exact_collapse``), which preserves connected components without the
+    quadratic identical-text bucket.
 
     100 TB shape: (1) exact-duplicate collapse first — identical texts (the
     classic boilerplate bucket) contribute star pairs, never quadratic bucket
     pairs; (2) explode(band_keys) -> self equi-join on the bucket over
     *distinct* texts only; (3) buckets still larger than ``max_bucket`` are
     salted into sub-buckets, capping within-bucket blowup (AQE skew-join
-    splits the shuffle but NOT the O(b^2) pair output — this does).
+    splits the shuffle but NOT the O(b^2) pair output — this does). Salting
+    makes recall approximate for pairs whose ONLY shared band lands in an
+    oversized bucket; ``SALT_METRICS['minhash_pairs']`` reports exactly how
+    much salting each call did (0 oversized buckets => exact candidates).
     """
     reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
     # persist the PRE-salt (key, bucket) table: it feeds the bucket-size
     # aggregation AND both self-join sides — persisting above the salting
     # join would leave the signature UDF inside the cached plan's own sizes
     # subtree and run it twice (at scale this cache is the materialized
-    # signature-table stage of any LSH pipeline)
-    b = (
-        with_minhash(reps, text_col, bands)
-        .select(key_col, F.explode("band_keys").alias("bucket"))
-        .persist()
+    # signature-table stage of any LSH pipeline). Lifecycle: scoped_persist
+    # replaces the previous call's cache; cache.release() frees it.
+    b = cache.scoped_persist(
+        "minhash_pairs",
+        with_minhash(reps, text_col, bands).select(
+            key_col, F.explode("band_keys").alias("bucket")
+        ),
     )
-    b = _salt_hot_buckets(b, key_col, max_bucket)
+    b = _salt_hot_buckets(b, key_col, max_bucket, tag="minhash_pairs")
     left = b.alias("l")
     right = b.alias("r")
     rep_pairs = (
@@ -191,14 +230,25 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-dup candidates with Hamming distance <= 3: by pigeonhole, such
-    pairs agree exactly on >=1 of the 4 16-bit blocks -> equi-join per block,
+    """Near-dup candidates with Hamming distance <= 3 (CONNECTIVITY-PRESERVING,
+    see ``_exact_collapse``): by pigeonhole, distinct texts at hamming <= 3
+    agree exactly on >=1 of the 4 16-bit blocks -> equi-join per block,
     verify with bit_count (JVM). Same 100 TB guards as minhash: exact
     duplicates are collapsed to star pairs (hamming 0 by definition) before
-    the block join, and oversized (blk, val) buckets are salted."""
+    the block join, and oversized (blk, val) buckets are salted.
+
+    RECALL CONTRACT: the pigeonhole guarantee is exact only while every
+    (blk, val) bucket fits ``max_bucket``; a qualifying pair whose only
+    agreeing block lands in an oversized bucket is dropped when its keys salt
+    into different sub-buckets. The trade is observable, not silent:
+    ``SALT_METRICS['simhash_pairs']`` records oversized-bucket and affected
+    row counts per call (0 oversized => the pigeonhole guarantee holds
+    exactly)."""
     reps, star = _exact_collapse(df.select(key_col, text_col), key_col, text_col)
     # pre-salt persist, same reasoning as minhash_candidate_pairs
-    sh = with_simhash(reps, text_col).select(key_col, "simhash").persist()
+    sh = cache.scoped_persist(
+        "simhash_pairs", with_simhash(reps, text_col).select(key_col, "simhash")
+    )
     blocks = sh.select(
         key_col,
         "simhash",
@@ -218,7 +268,7 @@ def simhash_candidate_pairs(
         "simhash",
         (F.col("b.blk").cast("bigint") * F.lit(65536) + F.col("b.val")).alias("bucket"),
     )
-    blocks = _salt_hot_buckets(blocks, key_col, max_bucket)
+    blocks = _salt_hot_buckets(blocks, key_col, max_bucket, tag="simhash_pairs")
     l, r = blocks.alias("l"), blocks.alias("r")
     rep_pairs = (
         l.join(r, ["bucket", "salt"])
@@ -274,8 +324,11 @@ def embedding_neardup_pairs(
 
     # pre-salt persist: the bucket UDF + collapse would otherwise re-run for
     # the size count and each self-join side
-    b = reps.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket")).persist()
-    b = _salt_hot_buckets(b, key_col, max_bucket)
+    b = cache.scoped_persist(
+        "embedding_neardup",
+        reps.select(key_col, vec_col, bucket(F.col(vec_col)).alias("bucket")),
+    )
+    b = _salt_hot_buckets(b, key_col, max_bucket, tag="embedding_neardup")
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
         F.zip_with(

@@ -66,11 +66,18 @@ def items_from_assets(
                 f"_bk_{c}", F.floor(F.col(c) * 100000.0 + F.lit(0.5)).cast("bigint")
             )
         keys += [f"_bk_{c}" for c in _BBOX_COLS]
+    # Exact distinct counts via collect_set, NOT countDistinct: two exact
+    # countDistinct aggregates make Catalyst Expand every input row ~3x
+    # before the biggest shuffle in the catalog path. asset_type and
+    # (year, month) are bounded-domain metadata (2 types, 6 year-months), so
+    # per-group sets stay tiny and combine map-side — one pass, no Expand.
     out = df.groupBy(*keys).agg(
         *_extent_aggs(),
         F.array_sort(F.collect_list("image_id")).alias("asset_ids"),
-        F.countDistinct("asset_type").alias("n_types"),
-        F.countDistinct("year", "month").alias("n_datetime_distinct"),
+        F.size(F.collect_set("asset_type")).cast("bigint").alias("n_types"),
+        F.size(F.collect_set(F.struct("year", "month")))
+        .cast("bigint")
+        .alias("n_datetime_distinct"),
         F.first("year").alias("year"),
         F.first("month").alias("month"),
     ).drop(*[f"_bk_{c}" for c in _BBOX_COLS])

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..functions.cells import hex_cell_np, hex_cell_udf, hex_kring_np, hex_min_width_deg, hex_size
 from ..functions.geo import haversine_np
 
@@ -120,6 +121,7 @@ def knn_join_cellring(
     res: int = 7,
     ring_radius: int = 16,
     cell_col: str | None = None,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """Exact kNN via a one-shot hex-cell ring broadcast join.
 
@@ -142,6 +144,17 @@ def knn_join_cellring(
     ``cell_col`` names a PRECOMPUTED hex cell column at ``res`` (the
     production shape: the lake table stores the cell, the scan prunes on it
     and no per-call UDF pass runs). Without it the cell derives on the fly.
+
+    ``max_abs_lat`` is the caller's bound on the fact table's |lat| domain
+    (e.g. from lake statistics — parquet/Iceberg column min/max metadata, or
+    ``sources.layout.file_ranges`` on a lat-clustered table — or the schema
+    contract of the ingest). Supplying it removes the only full-table pass
+    outside the candidate join; when None the operator computes it with one
+    ``max(abs(lat))`` scan (correct but a second 100 TB pass). The bound must
+    HOLD (|lat| <= max_abs_lat for every fact row) — a violated bound can
+    wrongly certify a query as complete; it does not need to be tight (a
+    loose bound only shrinks the provable radius and routes more queries to
+    the exact fallback).
     """
     spark = images.sparkSession
     queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
@@ -154,8 +167,9 @@ def knn_join_cellring(
     q_cells = hex_cell_np(q_lon, q_lat, res)
 
     # provable meters-per-planar-degree lower bound over the joint lat domain
-    max_abs_lat_row = images.agg(F.max(F.abs(F.col("lat")))).first()[0]
-    max_abs_lat = max(float(max_abs_lat_row or 0.0), float(np.abs(q_lat).max()))
+    if max_abs_lat is None:
+        max_abs_lat = float(images.agg(F.max(F.abs(F.col("lat")))).first()[0] or 0.0)
+    max_abs_lat = max(float(max_abs_lat), float(np.abs(q_lat).max()))
     shrink = max(np.cos(np.radians(min(max_abs_lat, 89.9))) * (2.0 / np.pi), 1e-6)
     min_width_m = hex_min_width_deg(res) * _METERS_PER_DEG_LAT * shrink
     bound_m = (ring_radius - 1) * min_width_m
@@ -191,8 +205,11 @@ def knn_join_cellring(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "image_id", "dist_m")
-        .persist()
     )
+    # cache: the ranked candidates feed the completeness-stats collect AND the
+    # returned result; lifecycle is scoped (replaced on the next call,
+    # releasable via cache.release())
+    ranked = cache.scoped_persist("knn_cellring", ranked)
 
     # per-query completeness stats: dimension-sized collect (Q rows)
     stats = {

@@ -115,10 +115,17 @@ def cosine_topk(
     cosines stay bit-identical to the JVM/DuckDB expression.
     """
     qpdf = queries.select("query_id", "qvec").toPandas()
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"].to_numpy()])
-    qids = qpdf["query_id"].to_numpy()
     qid_type = dict(queries.dtypes)["query_id"]
     nid_type = dict(emb.dtypes)[key_col]
+    if qpdf.empty:
+        # np.stack on zero queries raises; return an empty result with the
+        # output schema instead (parity with the join-based formulation)
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"query_id {qid_type}, rank int, neighbor_id {nid_type}, cosine double",
+        )
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"].to_numpy()])
+    qids = qpdf["query_id"].to_numpy()
     schema = f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
     partials = emb.select(key_col, vec_col).mapInPandas(
         _cosine_partial_topk_gen(qids, qm, key_col, vec_col, k), schema=schema

@@ -146,25 +146,44 @@ class SnapshotStore:
         #    paths, so a directory listing would never match lineage's raw
         #    values and such partitions would recommit forever.
         readback = _read_keyed(spark, self._data_path(stage))
-        counts = (
-            readback.groupBy(F.col(part_col).alias("part_key"))
+        counts = {
+            r.part_key: r.n_rows
+            for r in readback.groupBy(F.col(part_col).alias("part_key"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
-        )
-        mrows: list[tuple[str, int]] = [
-            (r.part_key, r.n_rows) for r in counts if r.part_key not in already
+        }
+        # A committed partition can be INTENTIONALLY rewritten (a call outside
+        # the pending() flow); its metrics must not go stale. Refresh every
+        # committed key whose current count disagrees with stored metrics, in
+        # addition to the new keys. (Count equality is the cheap staleness
+        # signal available from the footer-only scan; a rewrite that keeps
+        # the exact row count refreshes nothing — callers needing content
+        # versioning should write a new stage.)
+        stored: dict[str, int] = {}
+        if _has_parquet(self._metrics_path(stage)):
+            stored = {
+                r.part_key: r.n_rows
+                for r in self.metrics(spark, stage)
+                .select("part_key", "n_rows")
+                .collect()
+            }
+        new_keys = [k for k in counts if k not in already]
+        refreshed = [
+            k for k in counts if k in already and stored.get(k) != counts[k]
         ]
-        new_keys = [k for k, _ in mrows]
-        if new_keys:
+        mrows = [(k, counts[k]) for k in new_keys + refreshed]
+        if mrows:
             metrics_df = spark.createDataFrame(
                 [(k, n, stage) for k, n in mrows],
                 "part_key string, n_rows bigint, stage string",
             )
             _dynamic_overwrite(metrics_df, self._metrics_path(stage), "part_key")
 
-            # 4. lineage last = commit marker (also an idempotent upsert)
+        if new_keys:
+            # 4. lineage last = commit marker (also an idempotent upsert;
+            #    refreshed keys are already committed — no new marker needed)
             lineage_df = spark.createDataFrame(
-                [(k, stage) for k, _ in mrows], "part_key string, stage string"
+                [(k, stage) for k in new_keys], "part_key string, stage string"
             )
             _dynamic_overwrite(lineage_df, self._lineage_path(stage), "part_key")
 
@@ -173,7 +192,8 @@ class SnapshotStore:
             "stage": stage,
             "part_col": part_col,
             "note": snapshot_note,
-            "partitions": [k for k, _ in mrows] if mrows else new_keys,
+            "partitions": sorted(new_keys),
+            "refreshed": sorted(refreshed),
         }
         with open(self._snapshots_path(stage), "a") as f:
             f.write(json.dumps(snap, default=str) + "\n")

@@ -148,3 +148,25 @@ def test_snapshot_log_appends(spark, store):
     store.write_stage(df, "s4", "part_key", snapshot_note="second")
     snaps = store.snapshots("s4")
     assert [s["note"] for s in snaps] == ["first", "second"]
+
+
+def test_rewriting_committed_partition_refreshes_metrics(spark, store):
+    """ADVICE r2: an intentional rewrite of a committed partition (outside
+    the pending() flow) must refresh _metrics.n_rows and be visible in the
+    snapshot log, not silently keep stale metrics."""
+    df1 = spark.range(40).select(
+        (F.col("id") % 2).cast("string").alias("part_key"), F.col("id").alias("v")
+    )
+    store.write_stage(df1, "s9", "part_key")
+    m1 = {r.part_key: r.n_rows for r in store.metrics(spark, "s9").collect()}
+    assert m1 == {"0": 20, "1": 20}
+
+    # rewrite partition "1" with different (fewer) rows, bypassing pending()
+    df2 = spark.range(5).select(
+        F.lit("1").alias("part_key"), (F.col("id") + 1000).alias("v")
+    )
+    snap = store.write_stage(df2, "s9", "part_key")
+    m2 = {r.part_key: r.n_rows for r in store.metrics(spark, "s9").collect()}
+    assert m2 == {"0": 20, "1": 5}, m2
+    assert snap["partitions"] == []          # no NEW commits
+    assert snap["refreshed"] == ["1"]        # the rewrite is recorded

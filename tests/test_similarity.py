@@ -137,3 +137,17 @@ def test_cosine_topk_survives_zero_norm_vectors(spark):
     )
     got = cosine_topk(emb.coalesce(1), qs, k=2).collect()
     assert [(r.rank, r.neighbor_id) for r in got] == [(1, 1), (2, 4)]
+
+
+def test_cosine_topk_empty_queries_returns_empty(spark):
+    """ADVICE r2: zero queries must return an empty frame with the output
+    schema, not raise from np.stack([])."""
+    from stac_catalog_builder_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    qs = spark.createDataFrame([], "query_id bigint, qvec array<float>")
+    out = cosine_topk(emb, qs, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "neighbor_id", "cosine"]
