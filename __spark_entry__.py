@@ -690,6 +690,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: per-collection set-deduplicated summary fields (platforms/
+    instruments lists, reference terracatalog.py:139,157) + asset count.
+    asset_type plays the instrument role and fmt the platform role in the
+    synthetic corpus; collect_set dedups map-side, array_sort makes the
+    reference's list(set(...)) deterministic."""
+    return (
+        _assigned(spark, sf_dir)
+        .groupBy("collection_id")
+        .agg(
+            F.array_sort(F.collect_set("asset_type")).alias("instruments"),
+            F.array_sort(F.collect_set("fmt")).alias("platforms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        )
+    )
+
+
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex-cell ring-expansion kNN — must produce the SAME rows as q_knn
     (same oracle): the pruned path is exact, not approximate. max_abs_lat
@@ -715,8 +732,10 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = multimodal.with_encoded_bytes(
         _images_fp(spark, sf_dir).where(F.col("img_key") < 2000)
     )
-    return multimodal.decode_stats(imgs).select(
-        "image_id", "fmt", "px_w", "px_h", "pixel_ok", "caption_ok", "decode_ok"
+    stats = multimodal.with_content_media_type(multimodal.decode_stats(imgs))
+    return stats.select(
+        "image_id", "fmt", "px_w", "px_h", "pixel_ok", "caption_ok", "decode_ok",
+        "media_type",
     )
 
 
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "image_decode_stats": q_image_decode_stats,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "collection_summary": q_collection_summary,
         # --- rows-only (non-SQL-expressible; property-tested in pytest) ---
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
@@ -962,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": oracles.sql_token_topk(k=50),
         "image_decode_stats": oracles.sql_image_decode_stats(key_lt=2000),
         "ann_quantized_topk": oracles.sql_ann_quantized_topk(k=5, n_queries=20),
+        "collection_summary": oracles.sql_collection_summary(),
         # no oracle (non-SQL-expressible -> rows-only checks):
         # hex_cells, s2_cells, image_embedding_topk, audio_features,
         # video_frame_sample, minhash_pairs, simhash_pairs, doc_fingerprint,

@@ -216,3 +216,86 @@ def equirect_forward_np(lon, lat, lat_ts: float = 0.0):
         np.radians(np.asarray(lon)) * _WGS84_A * k,
         np.radians(np.asarray(lat)) * _WGS84_A,
     )
+
+
+def utm_inverse_np(x, y, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    """UTM easting/northing (meters) -> WGS84 lon/lat.
+
+    Inverse transverse Mercator via footpoint latitude + series (standard
+    Snyder formulation) — closes the projected->lat/lon direction the
+    reference gets from pyproj (stacbuilder/projections.py:61-67: derive the
+    lat/lon bbox FROM a projected bbox, terracatalog.py:700-770). Round-trip
+    accuracy vs ``utm_forward_np`` is property-tested to the reference's own
+    tolerance (10 m / ~1e-4 deg, reference tests/test_projections.py:12-124).
+    """
+    lon0, south = _utm_params(epsg)
+    x = np.asarray(x, dtype=np.float64) - 500000.0
+    y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = y - 10000000.0
+    e2 = _WGS84_F * (2 - _WGS84_F)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+
+    m = y / _UTM_K0
+    mu = m / (_WGS84_A * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    n1 = _WGS84_A / np.sqrt(1 - e2 * sin1**2)
+    t1 = tan1**2
+    c1 = ep2 * cos1**2
+    r1 = _WGS84_A * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+    d = x / (n1 * _UTM_K0)
+
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2)
+        * d**6
+        / 720
+    )
+    lon = (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
+    ) / cos1
+    return lon0 + np.degrees(lon), np.degrees(lat)
+
+
+def equirect_inverse_np(x, y, lat_ts: float = 0.0):
+    """Plate-carree inverse: meters -> lon/lat degrees (exact)."""
+    k = math.cos(math.radians(lat_ts))
+    return (
+        np.degrees(np.asarray(x, dtype=np.float64) / (_WGS84_A * k)),
+        np.degrees(np.asarray(y, dtype=np.float64) / _WGS84_A),
+    )
+
+
+def reproject_bbox_to_lonlat_np(
+    x_min, y_min, x_max, y_max, epsg: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Projected bbox -> lat/lon bbox: inverse-project the 4 corners and take
+    the coordinate-wise bounds — the reference's reproject_bounding_box
+    shape (projections.py:21-67: project the box polygon's coordinates, take
+    ``.bounds``). Vectorized over N bboxes. EPSG:32662 is plate-carree;
+    326xx/327xx are UTM zones (matching the forward kernels)."""
+    inv = (
+        (lambda xx, yy: equirect_inverse_np(xx, yy))
+        if epsg == 32662
+        else (lambda xx, yy: utm_inverse_np(xx, yy, epsg))
+    )
+    x_min = np.asarray(x_min, dtype=np.float64)
+    y_min = np.asarray(y_min, dtype=np.float64)
+    x_max = np.asarray(x_max, dtype=np.float64)
+    y_max = np.asarray(y_max, dtype=np.float64)
+    # 4 corners: (xmin,ymin) (xmax,ymin) (xmax,ymax) (xmin,ymax)
+    cx = np.stack([x_min, x_max, x_max, x_min])
+    cy = np.stack([y_min, y_min, y_max, y_max])
+    lon, lat = inv(cx, cy)
+    return lon.min(axis=0), lat.min(axis=0), lon.max(axis=0), lat.max(axis=0)

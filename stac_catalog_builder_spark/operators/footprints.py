@@ -12,9 +12,12 @@ Spark, DuckDB and numpy all reproduce identical doubles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from ..functions.geo import reproject_bbox_to_lonlat_np
 from ..synth import (
     HOT_JITTER_SCALE,
     HOT_JITTER_STEPS,
@@ -52,4 +55,65 @@ def with_footprint(df: DataFrame) -> DataFrame:
         .withColumn("fp_e", F.col("lon") + half_w)
         .withColumn("fp_s", F.col("lat") - half_h)
         .withColumn("fp_n", F.col("lat") + half_h)
+    )
+
+
+_LONLAT_BBOX_T = T.StructType(
+    [
+        T.StructField("fp_w", T.DoubleType()),
+        T.StructField("fp_s", T.DoubleType()),
+        T.StructField("fp_e", T.DoubleType()),
+        T.StructField("fp_n", T.DoubleType()),
+    ]
+)
+
+
+def with_lonlat_bbox_from_projected(
+    df: DataFrame,
+    x_min: str = "bbox_x_min",
+    y_min: str = "bbox_y_min",
+    x_max: str = "bbox_x_max",
+    y_max: str = "bbox_y_max",
+    epsg_col: str = "proj_epsg",
+) -> DataFrame:
+    """Complete the ``_ensure_geoms`` closure for PROJECTED inputs: derive
+    the lat/lon bbox (fp_w/fp_s/fp_e/fp_n) from a projected bbox + EPSG —
+    the direction the reference gets from pyproj (metadata.py:199-236
+    derives bbox_lat_lon FROM proj_bbox via projections.py:61-67;
+    terracatalog.py:700-770 feeds projected coordinates in).
+
+    Vectorized Arrow UDF: each batch groups rows by EPSG (a batch is almost
+    always single-zone — real ingests partition by tile/zone) and runs the
+    numpy inverse kernel per group; no per-row Python. Supports UTM
+    326xx/327xx and plate-carree 32662, like the forward kernels."""
+
+    @F.pandas_udf(_LONLAT_BBOX_T)
+    def inv(
+        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series,
+        epsg: pd.Series,
+    ) -> pd.DataFrame:
+        out = pd.DataFrame(
+            index=xmin.index, columns=["fp_w", "fp_s", "fp_e", "fp_n"], dtype=float
+        )
+        for code, idx in epsg.groupby(epsg).groups.items():
+            w, s, e, n = reproject_bbox_to_lonlat_np(
+                xmin[idx].to_numpy(), ymin[idx].to_numpy(),
+                xmax[idx].to_numpy(), ymax[idx].to_numpy(), int(code),
+            )
+            out.loc[idx, "fp_w"] = w
+            out.loc[idx, "fp_s"] = s
+            out.loc[idx, "fp_e"] = e
+            out.loc[idx, "fp_n"] = n
+        return out
+
+    bb = inv(F.col(x_min), F.col(y_min), F.col(x_max), F.col(y_max), F.col(epsg_col))
+    return (
+        df.withColumn("_bb", bb)
+        .withColumn("fp_w", F.col("_bb.fp_w"))
+        .withColumn("fp_s", F.col("_bb.fp_s"))
+        .withColumn("fp_e", F.col("_bb.fp_e"))
+        .withColumn("fp_n", F.col("_bb.fp_n"))
+        .withColumn("lon", (F.col("fp_w") + F.col("fp_e")) / 2.0)
+        .withColumn("lat", (F.col("fp_s") + F.col("fp_n")) / 2.0)
+        .drop("_bb")
     )

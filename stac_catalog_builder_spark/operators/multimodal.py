@@ -132,6 +132,28 @@ def decode_stats(df: DataFrame, permissive: bool = True) -> DataFrame:
     return with_expected.select(*cols).mapInPandas(gen, schema=_STATS_SCHEMA)
 
 
+# Content-derived media types (reference mapper.py:157-164: cog_validate(file)
+# decides MediaType.COG vs demoted GEOTIFF — the type comes from inspecting
+# the payload, not from static config).
+MEDIA_TYPES = {"raw": "image/x-raw", "png": "image/png", "dct": "image/x-dct"}
+FALLBACK_MEDIA_TYPE = "application/octet-stream"
+
+
+def with_content_media_type(stats: DataFrame) -> DataFrame:
+    """Derive ``media_type`` from decode VALIDITY (the ``decode_ok`` the
+    decode path already knows) + format: a payload that fails structural
+    decode is demoted to application/octet-stream, exactly the reference's
+    cog_validate -> COG-else-GEOTIFF demotion (mapper.py:157-164). Pure JVM
+    expression over decode_stats output."""
+    m = F.create_map(*[F.lit(x) for kv in MEDIA_TYPES.items() for x in kv])
+    return stats.withColumn(
+        "media_type",
+        F.when(
+            F.col("decode_ok"), F.coalesce(m[F.col("fmt")], F.lit(FALLBACK_MEDIA_TYPE))
+        ).otherwise(F.lit(FALLBACK_MEDIA_TYPE)),
+    )
+
+
 def resize_images(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode (raw). Emits the resized
     payload + its stats; the shape every thumbnailing pipeline has."""

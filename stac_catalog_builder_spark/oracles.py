@@ -944,7 +944,9 @@ def sql_image_decode_stats(key_lt: int = 2000) -> str:
 WITH {IMAGES_CTE.strip()}
 SELECT image_id, fmt,
        CAST(w AS INT) AS px_w, CAST(h AS INT) AS px_h,
-       TRUE AS pixel_ok, TRUE AS caption_ok, TRUE AS decode_ok
+       TRUE AS pixel_ok, TRUE AS caption_ok, TRUE AS decode_ok,
+       CASE fmt WHEN 'raw' THEN 'image/x-raw' WHEN 'png' THEN 'image/png'
+            ELSE 'application/octet-stream' END AS media_type
 FROM images WHERE img_key < {key_lt}
 """
 
@@ -997,4 +999,20 @@ ranked AS (
 SELECT query_id, "rank", neighbor_id,
        CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS cos_x1e6
 FROM ranked WHERE "rank" <= {k}
+"""
+
+
+def sql_collection_summary() -> str:
+    """U4: per-collection set-dedup summary lists (reference
+    terracatalog.py:139,157 list(set(platforms))/list(set(instruments)),
+    sorted for determinism)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()}
+SELECT collection_id,
+       list_sort(list_distinct(list(asset_type))) AS instruments,
+       list_sort(list_distinct(list(fmt))) AS platforms,
+       COUNT(*) AS n_assets
+FROM assigned
+GROUP BY collection_id
 """

@@ -47,10 +47,19 @@ def write_items_partitioned(items: DataFrame, out_dir: str, fmt: str = "json") -
     )
 
 
-def collection_summary(items: DataFrame, collection_id: str) -> DataFrame:
-    """S8: one summary row — spatial/temporal extent + deterministically
-    sorted item links (the reference sorts links by repr, builder.py:549)."""
-    return items.agg(
+def collection_summary(
+    items: DataFrame,
+    collection_id: str,
+    summary_cols: tuple[str, ...] = ("platform", "instrument"),
+) -> DataFrame:
+    """S8/U4: one summary row — spatial/temporal extent + deterministically
+    sorted item links (the reference sorts links by repr, builder.py:549) +
+    set-deduplicated summary fields: for every ``summary_cols`` column
+    present, an ``array_sort(collect_set(col))`` list named ``{col}s`` — the
+    reference's ``list(set(platforms))`` / ``list(set(instruments))``
+    collection summaries (terracatalog.py:139, 157), made deterministic by
+    sorting. collect_set combines map-side; the domains are tiny."""
+    aggs = [
         F.lit(collection_id).alias("collection_id"),
         F.count(F.lit(1)).alias("n_items"),
         F.min("ext_w").alias("ext_w"),
@@ -60,7 +69,11 @@ def collection_summary(items: DataFrame, collection_id: str) -> DataFrame:
         F.min("dt_min").alias("dt_min"),
         F.max("dt_max").alias("dt_max"),
         F.array_sort(F.collect_list("item_id")).alias("item_links"),
-    )
+    ]
+    for c in summary_cols:
+        if c in items.columns:
+            aggs.append(F.array_sort(F.collect_set(c)).alias(c + "s"))
+    return items.agg(*aggs)
 
 
 def save_collection(items: DataFrame, collection_id: str, out_dir: str) -> dict:

@@ -145,3 +145,85 @@ def test_spatial_join_nonrectangular_polygons(spark):
     }
     assert notch_ids and not {t for t in got if t[0] in notch_ids and t[1] == "ell"}
     assert len({t for t in got if t[1] == "tri"}) > 50  # plenty inside
+
+
+def test_utm_inverse_roundtrip_property():
+    """VERDICT r2 #5: projected -> lat/lon closes the _ensure_geoms closure.
+    Round-trip lon/lat -> UTM -> lon/lat within the reference's own
+    tolerances (10 m eq. ~1e-4 deg; reference tests/test_projections.py)."""
+    from stac_catalog_builder_spark.functions.geo import utm_inverse_np
+
+    rng = np.random.default_rng(7)
+    for epsg, lon0 in ((32631, 3.0), (32731, 3.0), (32601, -177.0)):
+        # points within +-2.5 deg of the zone's central meridian
+        lon = lon0 + rng.uniform(-2.5, 2.5, 500)
+        lat = rng.uniform(-79, 83, 500) if epsg < 32700 else rng.uniform(-80, 0, 500)
+        x, y = utm_forward_np(lon, lat, epsg)
+        lon2, lat2 = utm_inverse_np(x, y, epsg)
+        assert np.abs(lon2 - lon).max() < 1e-4, epsg
+        assert np.abs(lat2 - lat).max() < 1e-4, epsg
+
+
+def test_utm_inverse_golden_point():
+    """Snyder's worked example vicinity: EPSG:32631 easting/northing of
+    (4.0E, 51.0N) must invert to the same point within 10 m (~9e-5 deg lat)."""
+    from stac_catalog_builder_spark.functions.geo import utm_inverse_np
+
+    x, y = utm_forward_np(np.array([4.0]), np.array([51.0]), 32631)
+    lon, lat = utm_inverse_np(x, y, 32631)
+    assert abs(lon[0] - 4.0) < 1.5e-4 and abs(lat[0] - 51.0) < 9e-5
+
+
+def test_equirect_inverse_exact():
+    from stac_catalog_builder_spark.functions.geo import (
+        equirect_forward_np,
+        equirect_inverse_np,
+    )
+
+    lon = np.linspace(-179, 179, 101)
+    lat = np.linspace(-89, 89, 101)
+    x, y = equirect_forward_np(lon, lat)
+    lon2, lat2 = equirect_inverse_np(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_reproject_bbox_to_lonlat_bounds():
+    """Projected bbox corners invert to a lat/lon bbox that CONTAINS the
+    original box (reference reproject_bounding_box takes .bounds of the
+    projected polygon, projections.py:21-67)."""
+    from stac_catalog_builder_spark.functions.geo import reproject_bbox_to_lonlat_np
+
+    w0, s0, e0, n0 = 3.2, 50.5, 4.8, 51.5
+    x1, y1 = utm_forward_np(np.array([w0]), np.array([s0]), 32631)
+    x2, y2 = utm_forward_np(np.array([e0]), np.array([n0]), 32631)
+    w, s, e, n = reproject_bbox_to_lonlat_np(x1, y1, x2, y2, 32631)
+    assert w[0] <= w0 + 1e-4 and s[0] <= s0 + 1e-4
+    assert e[0] >= e0 - 1e-4 and n[0] >= n0 - 1e-4
+    assert abs(w[0] - w0) < 0.02 and abs(n[0] - n0) < 0.02
+
+
+def test_with_lonlat_bbox_from_projected_spark(spark):
+    """The Spark operator completes the closure: projected bbox + epsg in,
+    fp_* lat/lon bbox out, mixed zones in one frame."""
+    import pandas as pd
+    from stac_catalog_builder_spark.operators.footprints import (
+        with_lonlat_bbox_from_projected,
+    )
+
+    pts = [(4.0, 51.0, 32631), (10.0, 45.0, 32632), (4.0, -30.0, 32731)]
+    rows = []
+    for i, (lon, lat, epsg) in enumerate(pts):
+        x1, y1 = utm_forward_np(np.array([lon - 0.1]), np.array([lat - 0.1]), epsg)
+        x2, y2 = utm_forward_np(np.array([lon + 0.1]), np.array([lat + 0.1]), epsg)
+        rows.append((i, float(x1[0]), float(y1[0]), float(x2[0]), float(y2[0]), epsg))
+    df = spark.createDataFrame(
+        rows,
+        "id int, bbox_x_min double, bbox_y_min double, "
+        "bbox_x_max double, bbox_y_max double, proj_epsg int",
+    )
+    out = with_lonlat_bbox_from_projected(df).orderBy("id").toPandas()
+    for i, (lon, lat, _) in enumerate(pts):
+        r = out.iloc[i]
+        assert abs(r.lon - lon) < 1e-3 and abs(r.lat - lat) < 1e-3
+        assert r.fp_w < lon < r.fp_e and r.fp_s < lat < r.fp_n

@@ -169,3 +169,31 @@ def test_decode_quarantine_permissive(spark):
 
     with pytest.raises(Exception):
         multimodal.decode_stats(corrupted, permissive=False).collect()
+
+
+def test_content_derived_media_type_demotes_corrupt(spark):
+    """VERDICT r2 #7 (reference mapper.py:157-164): media_type derives from
+    content validity — a corrupt payload demotes to application/octet-stream,
+    valid payloads map fmt -> media type."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, "/root/testdata/sf0.001")).limit(20)
+    )
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == "img_00000003", F.lit(b"\x00garbage")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    stats = multimodal.with_content_media_type(multimodal.decode_stats(corrupted))
+    rows = {r.image_id: r for r in stats.collect()}
+    assert rows["img_00000003"].media_type == "application/octet-stream"
+    for k, r in rows.items():
+        if k == "img_00000003":
+            continue
+        assert r.media_type == multimodal.MEDIA_TYPES[r.fmt], (k, r.media_type)
