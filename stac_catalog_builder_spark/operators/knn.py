@@ -44,11 +44,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
-from ..functions.cells import hex_cell_np, hex_cell_udf, hex_kring_np, hex_min_width_deg, hex_size
-from ..functions.geo import haversine_np
+from ..functions.cells import (
+    hex_cell_np,
+    hex_cell_udf,
+    hex_decode_np,
+    hex_kring_np,
+    hex_min_width_deg,
+    hex_size,
+)
+from ..functions.geo import haversine_col, haversine_np
 
 _OUT_SCHEMA = "query_id string, image_id string, dist_m double"
 _METERS_PER_DEG_LAT = 111194.9  # pi * 6371000 / 180
+
+# Last-call routing stats for knn_join_cellring (observability: how many
+# queries the ring proved complete vs paid the exact full-scan fallback).
+LAST_CELLRING_STATS: dict[str, int] = {}
 
 
 def _partial_topk_gen(queries_pdf: pd.DataFrame, k: int):
@@ -100,18 +111,62 @@ def knn_join(images: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _haversine_udf():
-    @F.pandas_udf("double")
-    def hav(
-        lon: pd.Series, lat: pd.Series, qlon: pd.Series, qlat: pd.Series
-    ) -> pd.Series:
-        return pd.Series(
-            haversine_np(
-                lon.to_numpy(), lat.to_numpy(), qlon.to_numpy(), qlat.to_numpy()
-            )
-        )
+def _adaptive_radii(
+    fact: DataFrame,
+    queries_pdf: pd.DataFrame,
+    q_cells: np.ndarray,
+    k: int,
+    res: int,
+    shrink: float,
+    alpha: int,
+    r_inner_max: int,
+    r_max: int,
+) -> np.ndarray:
+    """Per-query certification radii from EXACT cell-count statistics.
 
-    return hav
+    One cheap stats pass (broadcast semi-join on the union of every query's
+    ``r_inner_max``-ring + map-side-combined count — at production scale this
+    is incrementally-maintained lake metadata) gives exact row counts per
+    candidate cell. Per query: r_need = smallest ring radius holding
+    >= alpha*k rows; the certification radius R then guarantees everything
+    outside the R-ring is farther than any point inside the r_need-ring:
+      kth_m <= (r_need + 1) * max_width_deg * METERS_PER_DEG      (upper)
+      outside_m >= (R - 1) * min_width_deg * METERS_PER_DEG * shrink  (lower)
+    => R = ceil((r_need + 1) * (max_width/min_width) / shrink) + 1.
+    Returns radius -1 for queries whose r_inner_max ring cannot reach
+    alpha*k rows (too sparse at this res -> exact fallback). This is what
+    lets ONE resolution serve a 10^4x density skew: a hot-cluster query gets
+    R ~ 4 (thousands of candidates instead of the whole cluster), a sparse
+    query gets R ~ r_max."""
+    spark = fact.sparkSession
+    inner = {
+        int(c)
+        for qc in q_cells
+        for c in hex_kring_np(int(qc), r_inner_max)
+    }
+    inner_df = spark.createDataFrame([(c,) for c in sorted(inner)], "cell bigint")
+    cnt = {
+        r["cell"]: r["n"]
+        for r in fact.join(F.broadcast(inner_df), "cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ratio = 2.0 / np.sqrt(3.0)  # hex max_width / min_width
+    radii = np.full(len(queries_pdf), -1, dtype=np.int64)
+    for i in range(len(queries_pdf)):
+        cells = hex_kring_np(int(q_cells[i]), r_inner_max)
+        _, cq, cr = hex_decode_np(cells)
+        _, q0, r0 = hex_decode_np(np.asarray([int(q_cells[i])]))
+        dq, dr = cq - q0[0], cr - r0[0]
+        hexdist = np.maximum(np.maximum(np.abs(dq), np.abs(dr)), np.abs(dq + dr))
+        counts = np.asarray([cnt.get(int(c), 0) for c in cells])
+        cum = np.bincount(hexdist, weights=counts, minlength=r_inner_max + 1).cumsum()
+        need = np.nonzero(cum >= alpha * k)[0]
+        if len(need):
+            r_need = int(need[0])
+            radii[i] = min(int(np.ceil((r_need + 1) * ratio / shrink)) + 1, r_max)
+    return radii
 
 
 def knn_join_cellring(
@@ -119,27 +174,34 @@ def knn_join_cellring(
     queries: DataFrame,
     k: int,
     res: int = 7,
-    ring_radius: int = 16,
+    ring_radius: int | None = 16,
     cell_col: str | None = None,
     max_abs_lat: float | None = None,
+    alpha: int = 4,
+    r_inner_max: int = 12,
+    r_max: int = 64,
 ) -> DataFrame:
     """Exact kNN via a one-shot hex-cell ring broadcast join.
 
     Plan: (1) fact rows gain a hex cell id at ``res`` (at production scale
     this is a precomputed table column and the scan prunes on it); (2) the
-    union of every query's ``ring_radius``-ring — a dimension-sized
-    (cell, query_id) table — broadcast-equi-joins the fact side; (3) one
-    window ranks candidates per query. A query is *provably* complete when it
-    has >= k candidates and its k-th distance is within the haversine lower
-    bound of leaving its ring; the remaining queries (sparse regions,
-    antimeridian/pole edge cases) are answered by ONE exact ``knn_join``
-    fallback pass. Results are identical to ``knn_join`` (same oracle).
+    union of every query's ring — a dimension-sized (cell, query_id) table —
+    broadcast-equi-joins the fact side; (3) one window ranks candidates per
+    query (pure JVM + map-side WindowGroupLimit). A query is *provably*
+    complete when it has >= k candidates and its k-th distance is within the
+    haversine lower bound of leaving its ring; the remaining queries (sparse
+    regions, antimeridian/pole edge cases) are answered by ONE exact
+    ``knn_join`` fallback pass. Results are identical to ``knn_join``
+    (same oracle).
 
-    ``ring_radius`` trades candidate volume against fallback probability:
-    too small and sparse-region queries miss the provable bound and pay the
-    full-scan fallback (measured 4.7x slower end-to-end at radius 8 vs 16 on
-    the synthetic density); candidates grow only quadratically in radius
-    while staying a tiny fraction of the scan.
+    ``ring_radius``: a fixed radius for every query, or **None for
+    ADAPTIVE per-query radii** derived from exact cell-count statistics
+    (see ``_adaptive_radii``) — the mode that survives heavy density skew:
+    with a fixed radius, a query inside a hot cluster drags the whole
+    cluster in as candidates; adaptively it gets a radius just large enough
+    to certify its k-th neighbor. Adaptive mode adds one cheap
+    statistics aggregate (lake metadata at production scale) and works best
+    with a precomputed ``cell_col``.
 
     ``cell_col`` names a PRECOMPUTED hex cell column at ``res`` (the
     production shape: the lake table stores the cell, the scan prunes on it
@@ -172,22 +234,6 @@ def knn_join_cellring(
     max_abs_lat = max(float(max_abs_lat), float(np.abs(q_lat).max()))
     shrink = max(np.cos(np.radians(min(max_abs_lat, 89.9))) * (2.0 / np.pi), 1e-6)
     min_width_m = hex_min_width_deg(res) * _METERS_PER_DEG_LAT * shrink
-    bound_m = (ring_radius - 1) * min_width_m
-
-    # planar hex geometry does not bound great-circle distance across the
-    # antimeridian or near a pole: those queries go straight to the fallback
-    ring_deg = (ring_radius + 2) * 2.0 * hex_size(res)
-    edge_unsafe = (np.abs(q_lon) > 180.0 - ring_deg) | (
-        np.abs(q_lat) > 90.0 - ring_deg
-    )
-
-    pairs: list[tuple[str, int]] = []
-    for i, qid in enumerate(queries_pdf["query_id"]):
-        if edge_unsafe[i]:
-            continue
-        pairs.extend((qid, int(c)) for c in hex_kring_np(int(q_cells[i]), ring_radius))
-    ring_df = spark.createDataFrame(pairs, "query_id string, cell bigint")
-    qdim = spark.createDataFrame(queries_pdf)
 
     cell = (
         F.col(cell_col)
@@ -195,12 +241,46 @@ def knn_join_cellring(
         else hex_cell_udf(res)(F.col("lon"), F.col("lat"))
     )
     fact = images.select("image_id", "lon", "lat", cell.alias("cell"))
+
+    if ring_radius is None:
+        radii = _adaptive_radii(
+            fact, queries_pdf, q_cells, k, res, shrink, alpha, r_inner_max, r_max
+        )
+    else:
+        radii = np.full(len(queries_pdf), int(ring_radius), dtype=np.int64)
+    bound_m = (radii - 1) * min_width_m  # per-query certification bound
+
+    # planar hex geometry does not bound great-circle distance across the
+    # antimeridian or near a pole: those queries go straight to the fallback
+    # (as do adaptive queries whose inner ring was too sparse, radius -1)
+    ring_deg = (radii + 2) * 2.0 * hex_size(res)
+    edge_unsafe = (
+        (np.abs(q_lon) > 180.0 - ring_deg)
+        | (np.abs(q_lat) > 90.0 - ring_deg)
+        | (radii < 0)
+    )
+
+    pairs: list[tuple[str, int]] = []
+    for i, qid in enumerate(queries_pdf["query_id"]):
+        if edge_unsafe[i]:
+            continue
+        pairs.extend((qid, int(c)) for c in hex_kring_np(int(q_cells[i]), int(radii[i])))
+    ring_df = spark.createDataFrame(pairs, "query_id string, cell bigint")
+    qdim = spark.createDataFrame(queries_pdf)
+
     cand = fact.join(F.broadcast(ring_df), "cell").join(F.broadcast(qdim), "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("image_id"))
+    # Distance + rank stay PURE JVM: haversine_col keeps the candidate path
+    # inside whole-stage codegen (no Arrow round trip), and the rank<=k
+    # filter triggers Spark's WindowGroupLimit — a MAP-SIDE top-k per query
+    # before the window exchange, so a hot query whose ring covers a dense
+    # cluster (10^7 candidates) ships only ~k rows per task instead of
+    # shuffling the whole cluster into one window task (guarded by
+    # tests/test_plans.py::test_cellring_plan_jvm_with_group_limit).
     ranked = (
         cand.withColumn(
             "dist_m",
-            _haversine_udf()(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")),
+            haversine_col(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -223,9 +303,15 @@ def knn_join_cellring(
         for i, qid in enumerate(queries_pdf["query_id"])
         if not edge_unsafe[i]
         and stats.get(qid, (0, float("inf")))[0] >= k
-        and stats[qid][1] <= bound_m
+        and stats[qid][1] <= bound_m[i]
     ]
     pending = [q for q in queries_pdf["query_id"] if q not in set(satisfied)]
+    LAST_CELLRING_STATS.update(
+        n_queries=len(queries_pdf),
+        satisfied=len(satisfied),
+        fallback=len(pending),
+        edge_unsafe=int(edge_unsafe.sum()),
+    )
 
     done = ranked.where(F.col("query_id").isin(satisfied)) if satisfied else None
     if pending:

@@ -1016,3 +1016,24 @@ SELECT collection_id,
 FROM assigned
 GROUP BY collection_id
 """
+
+
+def sql_precision_round() -> str:
+    """P10: resolution-derived rounding (reference mapper.py:130-139).
+    decimals = abs(floor(log10(res * 0.001))); scale = 10^decimals;
+    rounded = floor(x * scale + 0.5) / scale. The res values put log10 at
+    x.60 (mid-decade), so Spark/DuckDB libm ULP differences cannot flip the
+    floor; every downstream op is identical IEEE arithmetic."""
+    res = "0.00025 * POW(10.0, CAST(img_key % 3 AS DOUBLE))"
+    scale = f"POW(10.0, ABS(FLOOR(LOG10(ABS(({res}) * 0.001)))))"
+    rnd = "FLOOR(({x}) * ({s}) + 0.5) / ({s})"
+    lon_r = rnd.format(x="lon", s=scale)
+    lat_r = rnd.format(x="lat", s=scale)
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id,
+       CAST(img_key % 3 AS INT) AS res_decade,
+       CAST(FLOOR(({lon_r}) * 1e9 + 0.5) AS BIGINT) AS lon_r_e9,
+       CAST(FLOOR(({lat_r}) * 1e9 + 0.5) AS BIGINT) AS lat_r_e9
+FROM fp
+"""

@@ -26,3 +26,30 @@ def test_cellring_precomputed_cell_column_equivalent(spark):
     precomputed = knn_join_cellring(pre, queries, k=5, res=6, cell_col="hex6")
     brute = knn_join(images, queries, k=5)
     assert _rows(derived) == _rows(precomputed) == _rows(brute)
+
+
+def test_cellring_adaptive_matches_brute(spark):
+    """Adaptive per-query radii (ring_radius=None) must return exactly the
+    brute-force result, with hot-cluster queries certified at SMALL radii
+    (never dragging the whole cluster in) and sparse queries either served
+    at large radii or routed to the exact fallback."""
+    import pandas as pd
+
+    from stac_catalog_builder_spark import cache, synth
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+
+    SF01 = "/root/testdata/sf0.01"
+    images = with_footprint(synth.images(spark, SF01))
+    queries = synth.knn_queries(spark, SF01)
+    brute = knn_join(images, queries, k=5).orderBy("query_id", "rank").toPandas()
+    adaptive = (
+        knn_join_cellring(
+            images, queries, k=5, res=9, ring_radius=None, max_abs_lat=60.0
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        brute.reset_index(drop=True), adaptive.reset_index(drop=True)
+    )
+    cache.release()

@@ -82,3 +82,31 @@ def test_knn_shuffle_is_bounded(spark):
     plan = _plan(e.queries()["knn"](spark, SF))
     assert "MapInPandas" in plan
     assert plan.index("Window") < plan.index("MapInPandas")  # topmost first
+
+
+def test_item_grouping_plan_has_no_expand(spark):
+    """VERDICT r2 #4: the consistency checks must not plan an Expand (dual
+    exact countDistinct would triple every input row before the catalog
+    path's biggest shuffle); collect_set over bounded domains is one pass."""
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.operators.grouping import items_from_assets
+
+    items = items_from_assets(with_footprint(synth.images(spark, SF)))
+    assert "Expand" not in _plan(items)
+
+
+def test_cellring_plan_jvm_with_group_limit(spark):
+    """The pruned kNN candidate path must stay pure JVM (no Arrow/Python
+    eval) and plan a map-side WindowGroupLimit so a dense hot cluster never
+    shuffles into one window task."""
+    plan = _plan(e.queries()["knn_cellring"](spark, SF))
+    # map-side (Partial) group limit before the window exchange
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    # distance is a JVM codegen expression, not a pandas UDF
+    assert "ASIN(SQRT" in plan
+    # the only Python in the plan is the cell-derivation encode UDF (absent
+    # entirely when the lake stores a precomputed cell column)
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line or "BatchEvalPython" in line:
+            assert "_enc(" in line, line
