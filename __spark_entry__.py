@@ -748,6 +748,21 @@ def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full near-dup GROUPING pipeline — minhash LSH candidates
+    -> exact Jaccard verify -> distributed connected components
+    (large-star/small-star) -> (doc_id, group_id, is_kept). Exactness of the
+    component labels vs a union-find oracle is pytest-asserted
+    (tests/test_graph.py)."""
+    from stac_catalog_builder_spark.operators.graph import dedup_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup_groups(corpus, jaccard_threshold=0.8)
+
+
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex-cell ring-expansion kNN — must produce the SAME rows as q_knn
     (same oracle): the pruned path is exact, not approximate. max_abs_lat
@@ -975,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_groups": q_dedup_groups,
     }
 
 
