@@ -748,6 +748,16 @@ def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_image_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: CLIP-style caption -> image retrieval over the image+caption
+    pairs (dual-tower embed + exact cosine top-k); encoders are deterministic
+    stubs, the retrieval contract is pytest-pinned."""
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 1200)
+    )
+    return multimodal.cross_modal_topk(imgs, k=3)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: full near-dup GROUPING pipeline — minhash LSH candidates
     -> exact Jaccard verify -> distributed connected components
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
+        "caption_image_retrieval": q_caption_image_retrieval,
     }
 
 

@@ -136,7 +136,7 @@ def bench_knn(spark) -> list[dict]:
     return out
 
 
-def bench_minhash(spark) -> list[dict]:
+def bench_minhash(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
     from pyspark.sql import functions as F
 
     from stac_catalog_builder_spark import cache
@@ -144,7 +144,7 @@ def bench_minhash(spark) -> list[dict]:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     out = []
-    for rep in LSH_REPS:
+    for rep in reps:
         # Replica texts via a per-replica Caesar cipher: within a replica
         # every doc shifts identically, so shingle equality — and therefore
         # the base corpus's candidate-pair structure — is preserved EXACTLY;
@@ -212,8 +212,38 @@ def bench_ann_lsh(spark) -> list[dict]:
     return out
 
 
-def main() -> None:
+def single_minhash(cores: int, rep: int = 16) -> dict:
+    """One measured minhash_pairs run at ``cores`` parallelism (fresh JVM via
+    the orchestrator) — the N-vs-4N scaling probe for the LSH job class
+    (the flagship's probe lives in bench_scaling.py)."""
     from stac_catalog_builder_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        app=f"scb-growth-mh-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    rows = bench_minhash(spark, reps=(rep,))
+    spark.stop()
+    r = rows[0]
+    r["cores"] = cores
+    r["docs_per_sec"] = round(r["n_docs"] / r["wall_sec"], 1)
+    return r
+
+
+def main() -> None:
+    import argparse
+    import subprocess
+
+    from stac_catalog_builder_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single-minhash", type=int, default=None)
+    args = ap.parse_args()
+    if args.single_minhash:
+        print(json.dumps(single_minhash(args.single_minhash)))
+        return
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(
@@ -223,6 +253,20 @@ def main() -> None:
     mh_rows = bench_minhash(spark)
     lsh_rows = bench_ann_lsh(spark)
     spark.stop()
+
+    # N vs 4N parallel-scaling probe for the LSH job class, each in a fresh
+    # JVM (same protocol as bench_scaling.py for the flagship)
+    mh_scale = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-minhash", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        mh_scale[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(mh_scale[cores], file=sys.stderr)
+    mh_eff = (
+        mh_scale[32]["docs_per_sec"] / mh_scale[8]["docs_per_sec"]
+    ) / 4.0
 
     a, b = knn_rows[0], knn_rows[-1]
     mh_a, mh_b = mh_rows[0], mh_rows[-1]
@@ -299,6 +343,21 @@ Fixed 20-query set, corpus replicated with disjoint ids.
 size x{size_ratio_lsh:.0f} -> wall x{wall_growth_lsh:.2f}: ~linear — the
 bucket equi-join shuffles only bucket-key rows; candidates per query grow
 with corpus density, never with the pair product.
+
+## 4. minhash_pairs N vs 4N parallelism (second job class)
+
+Same two-parallelism protocol as BENCH/BASELINE.md (fresh JVM per point,
+shuffle partitions 2x cores), {mh_scale[8]["n_docs"]:,} docs:
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {mh_scale[8]["wall_sec"]} | {mh_scale[8]["docs_per_sec"]:,} |
+| local[32] (4N) | {mh_scale[32]["wall_sec"]} | {mh_scale[32]["docs_per_sec"]:,} |
+
+**raw scaling_efficiency = {mh_eff:.3f}** (against this box's measured
+pure-CPU vCPU ceiling of ~0.75, BENCH/BASELINE.md — the LSH job's Python
+signature kernel also pays per-worker Arrow transfer, which the flagship's
+all-JVM plan does not).
 """
     out_path = REPO / "BENCH" / "GROWTH.md"
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -311,6 +370,7 @@ with corpus density, never with the pair product.
                 "ann_lsh": lsh_rows,
                 "knn_speedup_small_to_big": [r["speedup"] for r in knn_rows],
                 "minhash_wall_growth": round(wall_growth_mh, 2),
+                "minhash_parallel_scaling_eff": round(mh_eff, 3),
                 "ann_lsh_wall_growth": round(wall_growth_lsh, 2),
                 "report": str(out_path),
             }

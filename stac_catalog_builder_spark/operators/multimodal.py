@@ -203,6 +203,65 @@ def image_embedding(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+# --- cross-modal (image <-> caption) ---------------------------------------
+
+
+def caption_embedding(
+    df: DataFrame, dim: int = 16, text_col: str = "caption", out_col: str = "cap_emb"
+) -> DataFrame:
+    """Deterministic hashed bag-of-tokens caption embedding (signed feature
+    hashing, L2-normalized) — the text-tower slot of a CLIP-style dual
+    encoder. The kernel is a stand-in (a real model replaces it); the Spark
+    contract — Arrow batches in, unit-norm ``array<float>`` out — is the
+    production shape and is what the cross-modal retrieval path consumes.
+    crc32-based hashing: deterministic across workers and runs."""
+    import zlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for text in pdf[text_col]:
+                v = np.zeros(dim)
+                for tok in str(text).split():
+                    h = zlib.crc32(tok.encode())
+                    v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n > 0 else v).astype(np.float32).tolist())
+            out = pdf.drop(columns=[text_col]).copy()
+            out[out_col] = vecs
+            yield out
+
+    keep = [c for c in df.columns if c != text_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != text_col
+    )
+    return df.select(*keep, text_col).mapInPandas(
+        gen, schema=f"{schema}, {out_col} array<float>"
+    )
+
+
+def cross_modal_topk(images: DataFrame, k: int = 3, dim: int = 16) -> DataFrame:
+    """Caption -> image retrieval: embed both towers (image pixels via
+    ``image_embedding``, captions via ``caption_embedding``), then exact
+    cosine top-k of each caption query against the image corpus — the
+    CLIP-style retrieval eval shape, running entirely on the engine's ANN
+    machinery (map-side partial top-k; swap ``similarity.ann_lsh_topk`` in
+    at corpus scale). With the stub encoders the SCORES are arbitrary; the
+    retrieval contract (pairing, ranking, determinism) is what tests pin."""
+    from . import similarity
+
+    img = image_embedding(images, dim=dim).withColumnRenamed("image_id", "vec_id")
+    cap = caption_embedding(
+        images.select("image_id", "caption"), dim=dim
+    ).select(
+        F.concat(F.lit("cap_"), F.col("image_id")).alias("query_id"),
+        F.col("cap_emb").alias("qvec"),
+    )
+    return similarity.cosine_topk(img, cap, k=k).select(
+        "query_id", "rank", F.col("neighbor_id").alias("image_id")
+    )
+
+
 # --- audio modality (real PCM WAV codec, stdlib struct + numpy) ------------
 
 from ..functions.codecs import (  # noqa: E402  (grouped with their operators)

@@ -197,3 +197,42 @@ def test_content_derived_media_type_demotes_corrupt(spark):
         if k == "img_00000003":
             continue
         assert r.media_type == multimodal.MEDIA_TYPES[r.fmt], (k, r.media_type)
+
+
+def test_caption_embedding_deterministic_unit_norm(spark):
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+
+    docs = synth.images(spark, "/root/testdata/sf0.001").limit(50).select(
+        "image_id", "caption"
+    )
+    a = multimodal.caption_embedding(docs).orderBy("image_id").collect()
+    b = multimodal.caption_embedding(docs).orderBy("image_id").collect()
+    assert [r.cap_emb for r in a] == [r.cap_emb for r in b]  # deterministic
+    import numpy as np
+
+    for r in a:
+        n = float(np.linalg.norm(np.asarray(r.cap_emb)))
+        assert abs(n - 1.0) < 1e-5
+
+
+def test_cross_modal_topk_contract(spark):
+    """Caption->image retrieval plumbing: k ranked image ids per caption
+    query, deterministic across runs (the encoders are stubs; the retrieval
+    contract is what is pinned)."""
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, "/root/testdata/sf0.001")).limit(40)
+    )
+    out = multimodal.cross_modal_topk(imgs, k=3).toPandas()
+    assert set(out.columns) == {"query_id", "rank", "image_id"}
+    per_q = out.groupby("query_id")["rank"].agg(["count", "max"])
+    assert (per_q["count"] == 3).all() and (per_q["max"] == 3).all()
+    assert len(per_q) == 40
+    out2 = multimodal.cross_modal_topk(imgs, k=3).toPandas()
+    assert out.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
