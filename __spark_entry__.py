@@ -748,6 +748,32 @@ def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (transitively exact: pytest asserts row-identical output to
+    the oracle-proven broadcast variant): PIP join via the SHUFFLE equi-join
+    path — the shape for polygon dimensions too large to broadcast
+    (distributed cover computation, cell-partitioned candidates, same JVM
+    ray cast)."""
+    from stac_catalog_builder_spark.operators.spatial_join import (
+        spatial_join_pip_partitioned,
+    )
+
+    polys = _boundary_polygons(spark, sf_dir)
+    pdf = spark.createDataFrame(
+        [
+            (p["tile_id"], p["collection_id"],
+             [float(x) for x in p["ring_x"]], [float(y) for y in p["ring_y"]])
+            for p in polys
+        ],
+        "poly_id string, collection_id string, ring_x array<double>, "
+        "ring_y array<double>",
+    )
+    imgs = _images_fp(spark, sf_dir).select("image_id", "lon", "lat")
+    return spatial_join_pip_partitioned(imgs, pdf).select(
+        "image_id", F.col("poly_id").alias("tile_id"), "collection_id"
+    )
+
+
 def q_caption_image_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: CLIP-style caption -> image retrieval over the image+caption
     pairs (dual-tower embed + exact cosine top-k); encoders are deterministic
@@ -1002,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
         "caption_image_retrieval": q_caption_image_retrieval,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
     }
 
 

@@ -256,6 +256,83 @@ def spatial_join_pip_udf(
     ).drop("poly_idx", "cover_cell", "is_full")
 
 
+def spatial_join_pip_partitioned(
+    images: DataFrame,
+    polygons_df: DataFrame,
+    cover_res: int = DEFAULT_COVER_RES,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poly_id_col: str = "poly_id",
+) -> DataFrame:
+    """PIP join for polygon sets TOO LARGE TO BROADCAST (the 100 TB shape
+    when the dimension itself is big: cadastral parcels, admin boundaries,
+    10^6+ tiles). Same two-stage semantics as ``spatial_join_pip`` but every
+    stage is distributed:
+
+    1. cover computation runs as a ``mapInPandas`` pass over the POLYGON
+       table (vectorized numpy per polygon: bbox cover cells +
+       interior/boundary classification) — no driver-side loop, no collect;
+    2. candidates come from a shuffle equi-join on the cover cell (both
+       sides partitioned by the cell key; AQE splits skewed cells);
+    3. ring vertex arrays join back on ``poly_id`` (a second equi-join —
+       vertex payloads never ride the wide cover table);
+    4. boundary-cell candidates refine with the same statically-unrolled JVM
+       ray cast; interior cells skip it.
+
+    Output = ``images`` columns + the polygon table's non-ring columns.
+    Results are EXACTLY ``spatial_join_pip``'s (pytest-asserted on the same
+    polygon set through both paths)."""
+    ring_schema = "ring_x array<double>, ring_y array<double>"
+    assert dict(polygons_df.dtypes).get("ring_x") == "array<double>", ring_schema
+
+    def cover_gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vx = np.asarray(r.ring_x, dtype=np.float64)
+                vy = np.asarray(r.ring_y, dtype=np.float64)
+                w, s, e, n = polygon_bounds(vx, vy)
+                cells = np.asarray(
+                    grid_cover_bbox(w, s, e, n, cover_res), dtype=np.int64
+                )
+                full = _cells_fully_inside(cells, vx, vy)
+                pid = getattr(r, poly_id_col)
+                rows.extend(
+                    {"cover_cell": int(c), poly_id_col: pid, "is_full": bool(f)}
+                    for c, f in zip(cells.tolist(), full.tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["cover_cell", poly_id_col, "is_full"]
+            )
+
+    pid_type = dict(polygons_df.dtypes)[poly_id_col]
+    cover = polygons_df.select(poly_id_col, "ring_x", "ring_y").mapInPandas(
+        cover_gen,
+        schema=f"cover_cell bigint, {poly_id_col} {pid_type}, is_full boolean",
+    )
+    # exact unroll width for the JVM ray cast: one cheap pass over the
+    # POLYGON table (dimension-sized relative to the fact side)
+    max_v = polygons_df.agg(F.max(F.size("ring_x"))).first()[0]
+
+    meta = polygons_df  # rings + id + payload columns
+    candidates = (
+        images.withColumn(
+            "cover_cell", grid_cell_col(F.col(lon_col), F.col(lat_col), cover_res)
+        )
+        .join(cover, "cover_cell")
+        .join(meta, poly_id_col)
+    )
+    refined = candidates.where(
+        F.when(F.col("is_full"), F.lit(True)).otherwise(
+            ray_cast_col(
+                F.col(lon_col), F.col(lat_col), F.col("ring_x"), F.col("ring_y"),
+                max_vertices=int(max_v),
+            )
+        )
+    )
+    return refined.drop("cover_cell", "ring_x", "ring_y", "is_full")
+
+
 def spatial_join_bbox_overlap(
     images: DataFrame,
     boxes: DataFrame,

@@ -227,3 +227,75 @@ def test_with_lonlat_bbox_from_projected_spark(spark):
         r = out.iloc[i]
         assert abs(r.lon - lon) < 1e-3 and abs(r.lat - lat) < 1e-3
         assert r.fp_w < lon < r.fp_e and r.fp_s < lat < r.fp_n
+
+
+def test_partitioned_pip_matches_broadcast(spark):
+    """spatial_join_pip_partitioned (shuffle equi-join path for
+    non-broadcastable polygon dims) must return EXACTLY the broadcast
+    variant's rows — on the 25-boundary fixture AND on a 200-polygon grid
+    with non-rectangular (hexagon-ish) rings."""
+    import pandas as pd
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.operators.spatial_join import (
+        spatial_join_pip,
+        spatial_join_pip_partitioned,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    images = with_footprint(synth.images(spark, SF)).select("image_id", "lon", "lat")
+
+    def run_both(polys):
+        pdf = spark.createDataFrame(
+            [
+                (
+                    p["poly_id"],
+                    [float(x) for x in p["ring_x"]],
+                    [float(y) for y in p["ring_y"]],
+                )
+                for p in polys
+            ],
+            "poly_id string, ring_x array<double>, ring_y array<double>",
+        )
+        part = (
+            spatial_join_pip_partitioned(images, pdf)
+            .select("image_id", "poly_id")
+            .toPandas()
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        bcast = (
+            spatial_join_pip(images, polys, keep_cols=("poly_id",))
+            .select("image_id", "poly_id")
+            .toPandas()
+            .sort_values(["image_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        assert len(bcast) > 0
+        pd.testing.assert_frame_equal(part, bcast)
+
+    # fixture rectangles
+    rect_polys = []
+    for r in synth.boundaries(spark, SF).collect():
+        rx, ry = rect_ring(r.bbox_w, r.bbox_s, r.bbox_e, r.bbox_n)
+        rect_polys.append(
+            {"poly_id": r.tile_id, "ring_x": rx, "ring_y": ry}
+        )
+    run_both(rect_polys)
+
+    # 20x10 grid of hexagon-ish polygons (non-axis-aligned edges exercise
+    # the ray cast + Liang-Barsky cover classification)
+    hex_polys = []
+    for gx in range(20):
+        for gy in range(10):
+            cx, cy = -180.0 + (gx + 0.5) * 18.0, -60.0 + (gy + 0.5) * 12.0
+            ang = np.linspace(0, 2 * np.pi, 7)[:-1] + 0.3
+            hex_polys.append(
+                {
+                    "poly_id": f"h{gx}_{gy}",
+                    "ring_x": (cx + 8.7 * np.cos(ang)),
+                    "ring_y": (cy + 5.6 * np.sin(ang)),
+                }
+            )
+    run_both(hex_polys)
