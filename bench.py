@@ -97,6 +97,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "revenue_by_nation",
         "events_hourly",
         "sessionize",
+        "spatial_join_partitioned",
+        "dedup_groups",
     ]
     qs = e.queries()
     for name in bench_queries:

@@ -110,3 +110,17 @@ def test_cellring_plan_jvm_with_group_limit(spark):
     for line in plan.splitlines():
         if "ArrowEvalPython" in line or "BatchEvalPython" in line:
             assert "_enc(" in line, line
+
+
+def test_partitioned_pip_plan_shuffle_join_no_python_refine(spark):
+    """The partitioned PIP path must join on the cover cell via a SHUFFLE
+    hash/merge join (no broadcast of the polygon side is assumed, no
+    nested-loop/cartesian), and the refine stage must stay JVM (the only
+    Python is the polygon-side cover computation)."""
+    plan = _plan(e.queries()["spatial_join_partitioned"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # JVM ray cast present; Python only in the mapInPandas cover stage
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line or "BatchEvalPython" in line:
+            raise AssertionError(f"row-wise python eval in plan: {line}")
