@@ -748,6 +748,30 @@ def q_collection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest: exact vs a driver-side numpy decode oracle):
+    raster->vector zonal statistics — per-(collection, tile) aggregates of
+    decoded pixel means (the north rule's raster<->vector direction that
+    summarizes pixels INTO vector zones)."""
+    assigned = multimodal.with_encoded_bytes(
+        _assigned(spark, sf_dir).where(F.col("img_key") < 2000)
+    )
+    out = multimodal.zonal_stats(assigned)
+    # integer-stable projection for the driver's value hash (averages are
+    # doubles; floor-scale them)
+    return out.select(
+        "collection_id",
+        "tile_id",
+        "n_images",
+        "n_decode_failed",
+        F.floor(F.col("mean_of_means_x1000") * 1000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mom_e3"),
+        "min_mean_x1000",
+        "max_mean_x1000",
+    )
+
+
 def q_spatial_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (transitively exact: pytest asserts row-identical output to
     the oracle-proven broadcast variant): PIP join via the SHUFFLE equi-join
@@ -1029,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "caption_image_retrieval": q_caption_image_retrieval,
         "spatial_join_partitioned": q_spatial_join_partitioned,
+        "zonal_stats": q_zonal_stats,
     }
 
 

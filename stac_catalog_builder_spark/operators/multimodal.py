@@ -203,6 +203,38 @@ def image_embedding(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+# --- raster <-> vector: zonal statistics ------------------------------------
+
+
+def zonal_stats(
+    assigned: DataFrame,
+    zone_cols: tuple[str, ...] = ("collection_id", "tile_id"),
+) -> DataFrame:
+    """Per-zone aggregates of DECODED pixel statistics — the raster->vector
+    summary direction of the north rule (its inverse, vector tiles assigned
+    to raster assets, is ``tiling.with_tile``/``tile_cover``). ``assigned``
+    must carry zone columns (from any spatial join variant) plus the image
+    payload columns; pixels decode once (mapInPandas) and the aggregation is
+    algebraic (map-side combine; salt with grouping.salted_extent_agg-style
+    rewrites if a zone is hot). Emits per-zone image count, decode-failure
+    count, and mean/min/max of the per-image pixel means (x1000 ints).
+
+    Reference analogue: per-collection summary statistics assembled from
+    per-file raster metadata (builder.py:484-510 extent updates +
+    terracatalog summaries) — generalized to pixel-level stats."""
+    stats = decode_stats(assigned)
+    zones = assigned.select("image_id", *zone_cols)
+    joined = stats.join(zones, "image_id")
+    return joined.groupBy(*zone_cols).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum((~F.col("decode_ok")).cast("bigint")).alias("n_decode_failed"),
+        F.avg("mean_x1000").alias("mean_of_means_x1000"),
+        F.min("mean_x1000").alias("min_mean_x1000"),
+        F.max("mean_x1000").alias("max_mean_x1000"),
+        F.avg("std_x1000").alias("mean_std_x1000"),
+    )
+
+
 # --- cross-modal (image <-> caption) ---------------------------------------
 
 

@@ -236,3 +236,45 @@ def test_cross_modal_topk_contract(spark):
     assert out.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_zonal_stats_matches_numpy_oracle(spark):
+    """Raster->vector zonal statistics: per-zone aggregates of decoded pixel
+    means must match a driver-side numpy oracle that decodes every payload
+    independently."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.functions.codecs import make_raster
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.operators.spatial_join import spatial_join_bbox
+
+    SF = "/root/testdata/sf0.001"
+    imgs = with_footprint(synth.images(spark, SF)).limit(200)
+    assigned = spatial_join_bbox(imgs, synth.boundaries(spark, SF))
+    assigned = multimodal.with_encoded_bytes(assigned)
+    out = {
+        (r.collection_id, r.tile_id): r
+        for r in multimodal.zonal_stats(assigned).collect()
+    }
+
+    # driver oracle
+    rows = assigned.select(
+        "collection_id", "tile_id", "phash", "w", "h"
+    ).collect()
+    zones: dict = {}
+    for r in rows:
+        m = make_raster(int(r.phash), int(r.w), int(r.h)).mean()
+        zones.setdefault((r.collection_id, r.tile_id), []).append(
+            int(np.floor(m * 1000.0 + 0.5))
+        )
+    assert set(out) == set(zones)
+    for key, means in zones.items():
+        got = out[key]
+        assert got.n_images == len(means)
+        assert got.n_decode_failed == 0
+        assert got.min_mean_x1000 == min(means)
+        assert got.max_mean_x1000 == max(means)
+        assert abs(got.mean_of_means_x1000 - sum(means) / len(means)) < 1e-6
