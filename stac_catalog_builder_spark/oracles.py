@@ -1005,13 +1005,15 @@ FROM ranked WHERE "rank" <= {k}
 def sql_collection_summary() -> str:
     """U4: per-collection set-dedup summary lists (reference
     terracatalog.py:139,157 list(set(platforms))/list(set(instruments)),
-    sorted for determinism)."""
+    sorted for determinism). Emitted as comma-joined strings, matching the
+    Spark side: the driver canonicalizer cannot hash list cells
+    (VERDICT r3 #1), so neither side may emit array columns."""
     return f"""
 WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
 {ASSIGNED_CTE.strip()}
 SELECT collection_id,
-       list_sort(list_distinct(list(asset_type))) AS instruments,
-       list_sort(list_distinct(list(fmt))) AS platforms,
+       array_to_string(list_sort(list_distinct(list(asset_type))), ',') AS instruments,
+       array_to_string(list_sort(list_distinct(list(fmt))), ',') AS platforms,
        COUNT(*) AS n_assets
 FROM assigned
 GROUP BY collection_id

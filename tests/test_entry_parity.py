@@ -61,6 +61,30 @@ def test_entry_smoke(spark):
     assert {"collection_id", "tile_id", "n_assets"} <= set(df.columns)
 
 
+def test_driver_window_schemas_hashable(spark):
+    """OUTPUT CONTRACT: the driver canonicalizer hashes rows via pandas
+    sort/factorize, which cannot hash list/dict cells — so no query inside
+    the 50-row exact window may emit array/map/struct columns (VERDICT r3
+    #1: ``collection_summary`` emitted array<string> and crashed the gate
+    regardless of value correctness). Learnable from every green row being
+    scalar-typed; encoded here so it can never regress."""
+    from pyspark.sql import types as T
+
+    oracle = set(entry_mod.oracle_sql().keys())
+    window = [n for n in entry_mod.queries() if n in oracle][:50]
+    bad = {}
+    for name in window:
+        df = entry_mod.queries()[name](spark, SF)
+        offending = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"driver-window queries emit unhashable columns: {bad}"
+
+
 def test_oracle_backed_first():
     """ORDERING CONTRACT: the driver's correctness gate checks only the first
     50 queries() entries, so every oracle-backed query must precede every
