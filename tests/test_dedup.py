@@ -191,8 +191,13 @@ def test_cache_lifecycle_scoped_and_releasable(spark, docs, dup_corpus):
     dedup.minhash_candidate_pairs(dup_corpus).count()  # repeat: replaces, not adds
     dedup.simhash_candidate_pairs(dup_corpus).count()
     tags = cache.live_tags()
-    assert tags == ["minhash_pairs", "simhash_pairs"], tags
-    assert cache.release() == 2
+    assert tags == [
+        "minhash_pairs",
+        "minhash_pairs_members",
+        "simhash_pairs",
+        "simhash_pairs_members",
+    ], tags
+    assert cache.release() == 4
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
     assert cache.live_tags() == []
