@@ -52,6 +52,8 @@ def test_connected_components_matches_union_find(spark, seed, n, m):
     }
     assert got == want
     assert LAST_CC_STATS["rounds"] <= 10
+    assert LAST_CC_STATS["converged"] is True
+    assert LAST_CC_STATS["nodes"] == len(nodes)
     cache.release()
 
 
@@ -63,6 +65,23 @@ def test_connected_components_chain_and_star(spark):
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert all(got[i] == 0 for i in range(64))
     assert all(got[1000 + i] == 1000 for i in range(50))
+    cache.release()
+
+
+def test_connected_components_nonconvergence_warns(spark):
+    """ADVICE r3: exhausting max_iter must not silently return possibly-wrong
+    labels — the converged flag flips and a RuntimeWarning fires. A 64-node
+    chain cannot reach its fixed point in one round."""
+    import warnings as _w
+
+    chain = [(i, i + 1) for i in range(0, 63)]
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(df, max_iter=1).collect()
+    assert LAST_CC_STATS["converged"] is False
+    assert LAST_CC_STATS["rounds"] == 1
+    assert any("max_iter" in str(w.message) for w in rec)
     cache.release()
 
 
