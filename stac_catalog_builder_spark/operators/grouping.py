@@ -75,7 +75,18 @@ def items_from_assets(
         *_extent_aggs(),
         F.array_sort(F.collect_list("image_id")).alias("asset_ids"),
         F.size(F.collect_set("asset_type")).cast("bigint").alias("n_types"),
-        F.size(F.collect_set(F.struct("year", "month")))
+        # null guard keeps countDistinct semantics (ADVICE r3): countDistinct
+        # skips rows where ANY column is NULL, while collect_set would keep
+        # structs with NULL fields — the when(...) maps those rows to NULL,
+        # which collect_set drops, so both agree on nullable inputs
+        F.size(
+            F.collect_set(
+                F.when(
+                    F.col("year").isNotNull() & F.col("month").isNotNull(),
+                    F.struct("year", "month"),
+                )
+            )
+        )
         .cast("bigint")
         .alias("n_datetime_distinct"),
         F.first("year").alias("year"),

@@ -222,8 +222,12 @@ def zonal_stats(
     Reference analogue: per-collection summary statistics assembled from
     per-file raster metadata (builder.py:484-510 extent updates +
     terracatalog summaries) — generalized to pixel-level stats."""
-    stats = decode_stats(assigned)
-    zones = assigned.select("image_id", *zone_cols)
+    # Decode each image ONCE even when the spatial join assigned it to
+    # several zones (e.g. bbox-overlap joins duplicate image_id): without
+    # the dedup, an image in N zones would join N stat rows x N zone rows
+    # and inflate every per-zone aggregate N-fold (ADVICE r3, medium).
+    stats = decode_stats(assigned.dropDuplicates(["image_id"]))
+    zones = assigned.select("image_id", *zone_cols).distinct()
     joined = stats.join(zones, "image_id")
     return joined.groupBy(*zone_cols).agg(
         F.count(F.lit(1)).alias("n_images"),

@@ -283,7 +283,9 @@ def spatial_join_pip_partitioned(
     Results are EXACTLY ``spatial_join_pip``'s (pytest-asserted on the same
     polygon set through both paths)."""
     ring_schema = "ring_x array<double>, ring_y array<double>"
-    assert dict(polygons_df.dtypes).get("ring_x") == "array<double>", ring_schema
+    if dict(polygons_df.dtypes).get("ring_x") != "array<double>":
+        # explicit raise, not assert: the schema contract must survive -O
+        raise ValueError(f"polygons_df must carry {ring_schema}")
 
     def cover_gen(batches):
         for pdf in batches:
@@ -313,6 +315,12 @@ def spatial_join_pip_partitioned(
     # exact unroll width for the JVM ray cast: one cheap pass over the
     # POLYGON table (dimension-sized relative to the fact side)
     max_v = polygons_df.agg(F.max(F.size("ring_x"))).first()[0]
+    if max_v is None:
+        # empty polygon table: the equi-joins below already produce zero
+        # rows with the correct joined schema — only the NULL unroll width
+        # would crash (ADVICE r3). Any valid width works; no row reaches
+        # the ray cast.
+        max_v = 3
 
     meta = polygons_df  # rings + id + payload columns
     candidates = (

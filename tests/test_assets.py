@@ -71,6 +71,28 @@ def test_items_enforce_consistency_raises(spark):
     assert items_from_assets(good, enforce_consistency=True).count() == 1
 
 
+def test_items_datetime_distinct_null_semantics(spark):
+    """ADVICE r3: n_datetime_distinct must keep countDistinct semantics on
+    nullable inputs — a row with NULL year (or month) does not count as a
+    distinct (year, month), where a naive collect_set(struct(...)) would
+    keep the NULL-field struct."""
+    rows = spark.createDataFrame(
+        [
+            ("itm", "a1", "t", 2000, 1, 0.0, 0.0, 1.0, 1.0),
+            ("itm", "a2", "t", None, 1, 0.0, 0.0, 1.0, 1.0),  # NULL year
+            ("itm", "a3", "t", 2000, None, 0.0, 0.0, 1.0, 1.0),  # NULL month
+        ],
+        "item_id string, image_id string, asset_type string, year int, "
+        "month int, fp_w double, fp_s double, fp_e double, fp_n double",
+    ).withColumn(
+        "datetime",
+        F.try_to_timestamp(F.format_string("%04d-%02d-01", "year", "month")),
+    )
+    out = items_from_assets(rows).collect()
+    assert len(out) == 1
+    assert out[0].n_datetime_distinct == 1
+
+
 def test_config_loader_and_dimension(spark, tmp_path):
     cfg = config.load_collection_config()
     assert cfg["collection_id"] == "observations"

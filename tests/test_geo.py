@@ -229,6 +229,32 @@ def test_with_lonlat_bbox_from_projected_spark(spark):
         assert r.fp_w < lon < r.fp_e and r.fp_s < lat < r.fp_n
 
 
+def test_partitioned_pip_empty_and_bad_schema(spark):
+    """ADVICE r3: an empty polygon table short-circuits to an empty result
+    (the NULL max-vertex width must not raise), and a missing ring schema
+    raises ValueError even under ``python -O``."""
+    import pytest as _pytest
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.operators.spatial_join import (
+        spatial_join_pip_partitioned,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    images = with_footprint(synth.images(spark, SF)).select("image_id", "lon", "lat")
+    empty = spark.createDataFrame(
+        [], "poly_id string, ring_x array<double>, ring_y array<double>"
+    )
+    out = spatial_join_pip_partitioned(images, empty)
+    assert out.count() == 0
+    assert {"image_id", "lon", "lat", "poly_id"} <= set(out.columns)
+
+    bad = spark.createDataFrame([("p", [1.0])], "poly_id string, ring_x array<float>")
+    with _pytest.raises(ValueError, match="ring_x"):
+        spatial_join_pip_partitioned(images, bad)
+
+
 def test_partitioned_pip_matches_broadcast(spark):
     """spatial_join_pip_partitioned (shuffle equi-join path for
     non-broadcastable polygon dims) must return EXACTLY the broadcast

@@ -278,3 +278,40 @@ def test_zonal_stats_matches_numpy_oracle(spark):
         assert got.min_mean_x1000 == min(means)
         assert got.max_mean_x1000 == max(means)
         assert abs(got.mean_of_means_x1000 - sum(means) / len(means)) < 1e-6
+
+
+def test_zonal_stats_multi_zone_assignment(spark):
+    """ADVICE r3 (medium): an image assigned to N>1 zones (overlap-style
+    spatial joins duplicate image_id) must count ONCE per zone — the naive
+    stats-to-zones join would produce N x N rows per image and inflate every
+    per-zone aggregate N-fold."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.operators.spatial_join import spatial_join_bbox
+
+    SF = "/root/testdata/sf0.001"
+    imgs = with_footprint(synth.images(spark, SF)).limit(60)
+    one_zone = spatial_join_bbox(imgs, synth.boundaries(spark, SF))
+    # assign EVERY image to a second zone (same collection, shifted tile id)
+    two_zone = one_zone.unionByName(
+        one_zone.withColumn("tile_id", F.concat(F.col("tile_id"), F.lit("_dup")))
+    )
+    assigned = multimodal.with_encoded_bytes(two_zone)
+    out = multimodal.zonal_stats(assigned).toPandas()
+
+    base = out[~out["tile_id"].str.endswith("_dup")].set_index(
+        ["collection_id", "tile_id"]
+    )
+    dup = out[out["tile_id"].str.endswith("_dup")].copy()
+    dup["tile_id"] = dup["tile_id"].str.removesuffix("_dup")
+    dup = dup.set_index(["collection_id", "tile_id"])
+
+    n_imgs = one_zone.count()
+    assert int(out["n_images"].sum()) == 2 * n_imgs  # once per zone, no N^2
+    # each shifted zone mirrors its base zone exactly
+    assert set(base.index) == set(dup.index)
+    for col in ("n_images", "min_mean_x1000", "max_mean_x1000"):
+        assert (base[col] == dup[col]).all(), col
