@@ -9,9 +9,12 @@ nothing collected to the driver).
 
 Measurement protocol matches BENCH/BASELINE.md: one untimed warm-up pass
 (JIT compilation of the fused codegen methods, python-worker spawn, parquet
-footer caches), then the measured pass. The cold first-pass flagship time is
-reported alongside (`cold_flagship_sec`) for transparency; steady-state is
-the number that models a long-running production job.
+footer caches), then MEDIAN OF 3 measured passes per query — this VM has
+multi-minute noisy-neighbor windows (documented in BENCH/BASELINE.md) that
+poisoned two rounds' single-pass committed records (VERDICT r3 #3); the
+median absorbs one bad window. The cold first-pass flagship time and the
+raw per-pass flagship walls are reported alongside for transparency;
+steady-state is the number that models a long-running production job.
 
 Usage:
   python bench.py                      # env-driven (driver protocol)
@@ -85,6 +88,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "extent_rollup",
         "knn",
         "knn_cellring",
+        "knn_cellring_fixed",
         "dedup_exact",
         "minhash_pairs",
         "simhash_pairs",
@@ -106,14 +110,31 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     return timings, extras
 
 
-def run_benchmark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Warm-up pass (untimed) + measured pass, per the BENCH/BASELINE.md
-    protocol (best-of warm runs; the JIT/worker-spawn cold costs are a
-    per-JVM constant, not a per-query property)."""
+def run_benchmark(
+    spark, sf_dir: str, passes: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Warm-up pass (untimed) + ``passes`` measured passes; per-query MEDIAN
+    (the JIT/worker-spawn cold costs are a per-JVM constant, not a per-query
+    property; the median makes the committed record robust to one
+    noisy-neighbor window)."""
+    import statistics
+
     cold, _ = run_suite(spark, sf_dir)
-    spark.catalog.clearCache()  # operators persist intermediates; reset
-    timings, extras = run_suite(spark, sf_dir)
+    runs: list[dict[str, float]] = []
+    extras: dict[str, float] = {}
+    for _ in range(passes):
+        spark.catalog.clearCache()  # operators persist intermediates; reset
+        t, extras = run_suite(spark, sf_dir)
+        runs.append(t)
+    timings = {
+        k: round(statistics.median([r[k] for r in runs]), 3) for k in runs[0]
+    }
+    extras["images_per_sec"] = round(
+        extras["n_images"] / timings["flagship_spatial_join"], 1
+    )
     extras["cold_flagship_sec"] = cold["flagship_spatial_join"]
+    extras["passes"] = passes
+    extras["flagship_runs"] = [r["flagship_spatial_join"] for r in runs]
     return timings, extras
 
 
@@ -122,6 +143,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--passes", type=int, default=3)
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
@@ -130,7 +152,7 @@ def main() -> None:
     )
     cores = spark.sparkContext.defaultParallelism
     t0 = time.time()
-    timings, extras = run_benchmark(spark, args.sf_dir)
+    timings, extras = run_benchmark(spark, args.sf_dir, passes=args.passes)
     total = round(time.time() - t0, 3)
     spark.stop()
 
