@@ -53,3 +53,16 @@ def test_cellring_adaptive_matches_brute(spark):
         brute.reset_index(drop=True), adaptive.reset_index(drop=True)
     )
     cache.release()
+
+
+def test_entry_cellring_fixed_matches_brute(spark):
+    """The rows-only ``knn_cellring_fixed`` entry (fixed radius, r2/r3's
+    driver config) must stay row-identical to the exact brute entry — its
+    exactness evidence now that the driver's oracle row exercises the
+    adaptive mode instead (VERDICT r3 #4)."""
+    from stac_catalog_builder_spark import cache
+
+    fixed = e.queries()["knn_cellring_fixed"](spark, SF)
+    brute = e.queries()["knn"](spark, SF).select("query_id", "rank", "image_id")
+    assert _rows(fixed) == _rows(brute)
+    cache.release()
