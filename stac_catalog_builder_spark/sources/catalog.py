@@ -25,9 +25,94 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_items_partitioned(items: DataFrame, out_dir: str, fmt: str = "json") -> None:
+class DocumentValidationError(ValueError):
+    """An emitted catalog document violates its shape contract."""
+
+
+# Required shape of emitted documents. The reference validates every emitted
+# item/collection against the STAC JSON schemas as part of its output
+# contract (stacbuilder/builder.py:209-212 validate()/validate_all(),
+# tests/test_builder.py:250-251); this is the self-contained equivalent —
+# required keys + Spark types + non-null — with no network access. A value
+# of None accepts any type (key presence + non-null only).
+ITEM_SPEC: dict[str, str | None] = {
+    "item_id": "string",
+    "collection_id": "string",
+}
+COLLECTION_SPEC: dict[str, str | None] = {
+    "collection_id": None,
+    "n_items": None,
+    "ext_w": None,
+    "ext_s": None,
+    "ext_e": None,
+    "ext_n": None,
+    "dt_min": None,
+    "dt_max": None,
+    "item_links": None,
+}
+
+
+def validate_documents(
+    docs: DataFrame, spec: dict[str, str | None] = ITEM_SPEC
+) -> None:
+    """Validate a to-be-emitted document table against ``spec``: every spec
+    column present (with the spec'd Spark type, when given) and non-null on
+    every row. Schema checks are driver-side and free; the null check is ONE
+    distributed aggregate (map-side combined counts), never a collect of
+    rows. Raises ``DocumentValidationError`` naming the violations."""
+    missing = [c for c in spec if c not in docs.columns]
+    if missing:
+        raise DocumentValidationError(f"missing required columns: {missing}")
+    dtypes = dict(docs.dtypes)
+    wrong = {
+        c: dtypes[c] for c, t in spec.items() if t is not None and dtypes[c] != t
+    }
+    if wrong:
+        raise DocumentValidationError(
+            f"wrong column types (got, want): "
+            f"{ {c: (g, spec[c]) for c, g in wrong.items()} }"
+        )
+    counts = docs.agg(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in spec]
+    ).first()
+    nulls = {c: int(counts[c]) for c in spec if counts[c]}
+    if nulls:
+        raise DocumentValidationError(f"null values in required columns: {nulls}")
+
+
+def validate_collection_payload(payload: dict) -> None:
+    """Invariant checks on a collection summary document (the analogue of
+    validating the emitted collection against its schema): required keys,
+    ordered extents, and link-count consistency."""
+    missing = [k for k in COLLECTION_SPEC if k not in payload or payload[k] is None]
+    if missing:
+        raise DocumentValidationError(f"collection missing fields: {missing}")
+    if payload["ext_w"] > payload["ext_e"] or payload["ext_s"] > payload["ext_n"]:
+        raise DocumentValidationError(
+            f"collection extent not ordered: {[payload[k] for k in ('ext_w', 'ext_s', 'ext_e', 'ext_n')]}"
+        )
+    if str(payload["dt_min"]) > str(payload["dt_max"]):
+        raise DocumentValidationError(
+            f"collection datetime range inverted: {payload['dt_min']} > {payload['dt_max']}"
+        )
+    if payload["n_items"] != len(payload["item_links"]):
+        raise DocumentValidationError(
+            f"n_items={payload['n_items']} != len(item_links)={len(payload['item_links'])}"
+        )
+
+
+def write_items_partitioned(
+    items: DataFrame,
+    out_dir: str,
+    fmt: str = "json",
+    spec: dict[str, str | None] | None = None,
+) -> None:
     """S7: items partitioned by (year, month, day) — one file set per day
-    directory, written in parallel by executors."""
+    directory, written in parallel by executors. Pass ``spec`` (e.g.
+    ``ITEM_SPEC``) to shape-validate every document before anything is
+    written."""
+    if spec is not None:
+        validate_documents(items, spec)
     base = items
     if "year" not in items.columns:
         base = base.withColumn("year", F.year("datetime"))
@@ -76,11 +161,17 @@ def collection_summary(
     return items.agg(*aggs)
 
 
-def save_collection(items: DataFrame, collection_id: str, out_dir: str) -> dict:
+def save_collection(
+    items: DataFrame, collection_id: str, out_dir: str, validate: bool = True
+) -> dict:
     """S8: write ``collection.json`` (single summary row -> one file, like
-    the reference's SELF_CONTAINED collection save)."""
+    the reference's SELF_CONTAINED collection save). With ``validate`` the
+    emitted document is shape-checked first (``validate_collection_payload``
+    — the reference validates before saving, builder.py:209-212)."""
     row = collection_summary(items, collection_id).collect()[0]
     payload = {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in row.asDict().items()}
+    if validate:
+        validate_collection_payload(payload)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / "collection.json").write_text(json.dumps(payload, indent=2, default=str))
@@ -106,11 +197,20 @@ def item_path_from_template(df: DataFrame, template: str, out_col: str = "item_p
     return df.withColumn(out_col, F.format_string(fmt, *cols))
 
 
-def write_items_templated(items: DataFrame, root: str, template: str) -> int:
+def write_items_templated(
+    items: DataFrame,
+    root: str,
+    template: str,
+    spec: dict[str, str | None] | None = None,
+) -> int:
     """S7 template variant: one JSON per item at its templated path, written
     executor-parallel via foreachPartition (the Spark analogue of the
     reference's async item-save pool, builder.py:457-482). Items are an
-    aggregated (item-level) table — far smaller than the asset fact table."""
+    aggregated (item-level) table — far smaller than the asset fact table.
+    Pass ``spec`` (e.g. ``ITEM_SPEC``) to shape-validate every document
+    before anything is written."""
+    if spec is not None:
+        validate_documents(items, spec)
     with_path = item_path_from_template(items, template)
     root_path = str(root)
 
