@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from stac_catalog_builder_spark import oracles, synth
 from stac_catalog_builder_spark.functions.cells import grid_cell_col
 from stac_catalog_builder_spark.functions.geo import rect_ring
-from stac_catalog_builder_spark.operators import dedup, similarity, textops
+from stac_catalog_builder_spark.operators import dedup, sampling, similarity, textops
 from stac_catalog_builder_spark.operators.footprints import with_footprint
 from stac_catalog_builder_spark.operators.grouping import (
     collection_extents,
@@ -1004,6 +1004,37 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(ev)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_sampling.py replays the integer scramble in
+    DuckDB row-exactly): deterministic hash-based train/val/test split over
+    the documents table — a pure map-side assignment (no shuffle, no RNG;
+    stable under retries/repartitioning, which DataFrame.sample is not) —
+    summarized per split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = sampling.dataset_split(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest: deterministic per-source hash sampling): training
+    mixture — two document sources sampled at different rates, unioned with
+    a source tag (zero exchanges before the summary agg)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = sampling.weighted_mixture(
+        {"primary": docs, "upweight": docs.where(F.col("lang") == "en")},
+        {"primary": 0.5, "upweight": 0.9},
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1082,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "zonal_stats": q_zonal_stats,
         "knn_cellring_fixed": q_knn_cellring_fixed,
+        "dataset_split": q_dataset_split,
+        "data_mixture": q_data_mixture,
     }
 
 

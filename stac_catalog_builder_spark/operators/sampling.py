@@ -1,0 +1,147 @@
+"""Deterministic sampling / splitting / mixing for training-data pipelines.
+
+Every operator here is HASH-based, not RNG-based, which is the property a
+10^12-row training pipeline actually needs:
+
+- **reproducible**: the assignment of a row depends only on its key (plus an
+  explicit salt), never on partitioning, task retries, or Spark's
+  per-partition RNG seeds (``DataFrame.sample`` draws a different sample
+  after a repartition or a speculative re-execution — unusable for
+  train/test hygiene);
+- **resumable**: re-running an incremental ingest assigns new rows to the
+  same splits without re-reading old ones;
+- **shuffle-free**: split/sample/mixture are pure map-side filters — zero
+  exchanges at any scale, fully codegen'd (no UDFs).
+
+The hash is a murmur-style finalizer over pure int64 arithmetic in a 2^31
+bucket space — fold the key to 31 bits, ``b = ((k + salt) * scramble) mod
+2^31``, then an xor-shift + multiply diffusion step — engine-independent
+(the same expression is replayed in DuckDB by the tests). The 31-bit space
+and 31-bit odd constants keep every product < 2^62, so Spark's ANSI mode
+cannot overflow. The xor-shift steps matter: an affine-only scramble maps a
+salt change to a CONSTANT bucket offset, so two salts would produce almost
+identical splits. String keys are first folded to int64 via ``xxhash64``
+(Spark-side only; tests pin determinism, not cross-engine parity, for
+string keys).
+
+Reference parity: the reference has no sampling surface (its pipeline is
+exhaustive per-file ETL); this extends the engine's training-data-pipeline
+operators (SURVEY.md §2's beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCRAMBLE = 1640531527  # |-2^32/phi| as a 31-bit odd constant
+_MIX = 2146121005  # 0x7FEB352D, hash-prospector 31-bit mix constant
+_MOD = 2**31
+
+
+def _bucket(key_col: Column, salt: int) -> Column:
+    """Deterministic uniform bucket in [0, 2^31) from an integer (or
+    integer-castable) key. String keys fold through xxhash64 first."""
+    k = F.when(
+        key_col.cast("bigint").isNotNull(), key_col.cast("bigint")
+    ).otherwise(F.xxhash64(key_col))
+    k = F.pmod(F.shiftright(k, 31).bitwiseXOR(k), F.lit(_MOD))
+    b = F.pmod((k + F.lit(int(salt))) * F.lit(_SCRAMBLE), F.lit(_MOD))
+    b = F.pmod(b.bitwiseXOR(F.shiftright(b, 16)) * F.lit(_MIX), F.lit(_MOD))
+    return b.bitwiseXOR(F.shiftright(b, 13))
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hashing its key — one withColumn, no shuffle, stable across runs,
+    retries, and repartitioning. ``weights`` need not sum to 1 (they are
+    normalized); boundaries are exact integer thresholds on the 2^31 bucket
+    space so the expression is engine-independent."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        thresh = int(acc * _MOD)
+        cond = b < F.lit(thresh)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key bucket
+    falls under ``fraction * 2^31`` for its stratum. A plain map-side filter
+    — no shuffle, no RNG; the same keys survive every run. ``fractions`` is
+    either one float (uniform) or a per-stratum-value dict (rows of strata
+    values absent from the dict are dropped)."""
+    b = _bucket(F.col(key_col), salt)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col required with per-stratum fractions")
+        expr = None
+        for value, frac in fractions.items():
+            cond = (F.col(strata_col) == F.lit(value)) & (
+                b < F.lit(int(float(frac) * _MOD))
+            )
+            expr = cond if expr is None else expr | cond
+        return df.where(expr)
+    return df.where(b < F.lit(int(float(fractions) * _MOD)))
+
+
+def weighted_mixture(
+    sources: dict[str, DataFrame],
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    tag_col: str = "source",
+) -> DataFrame:
+    """Training-data mixing: sample each source at its rate (deterministic,
+    per-key) and union with a source tag — the mixture-weights stage of a
+    pretraining pipeline. Each source is filtered map-side; the union is a
+    plan-level concatenation (no shuffle), so the whole mixture costs one
+    pass over each source at any scale. Rates may exceed done-once
+    semantics only in [0, 1] — upsampling (rate > 1) needs replication,
+    which is a different operator (and a different storage bill)."""
+    missing = set(sources) - set(rates)
+    if missing:
+        raise ValueError(f"no mixture rate for sources: {sorted(missing)}")
+    bad = {s: r for s, r in rates.items() if not (0.0 <= float(r) <= 1.0)}
+    if bad:
+        raise ValueError(f"mixture rates must be in [0, 1]: {bad}")
+    import zlib
+
+    out = None
+    for name, src in sources.items():
+        # distinct salt per source (crc32, NOT Python's run-randomized
+        # hash()): a key present in two sources is an independent draw in
+        # each, not a correlated one — and the draw is stable across runs
+        part = stratified_sample(
+            src,
+            float(rates[name]),
+            key_col=key_col,
+            salt=salt + zlib.crc32(name.encode()) % 10007,
+        ).withColumn(tag_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("sources must be non-empty")
+    return out

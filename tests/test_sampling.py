@@ -1,0 +1,113 @@
+"""Deterministic sampling/split/mixture tests: assignments must match a
+DuckDB replay of the same integer scramble (engine-independence), stay
+identical across repartitioning (the property RNG sampling lacks), and
+respect weights within binomial tolerance."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from stac_catalog_builder_spark.operators.sampling import (
+    _MIX,
+    _MOD,
+    _SCRAMBLE,
+    dataset_split,
+    stratified_sample,
+    weighted_mixture,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+
+
+def test_split_matches_duckdb_scramble(spark, docs):
+    got = {
+        r.doc_id: r.split
+        for r in dataset_split(docs, "doc_id", salt=7).select("doc_id", "split").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    t_train = int(0.8 * _MOD)
+    t_val = int(0.9 * _MOD)
+    want = dict(
+        con.sql(
+            f"""
+            WITH b0 AS (
+              SELECT doc_id,
+                     ((xor(doc_id >> 31, doc_id) % {_MOD}) + {_MOD}) % {_MOD} AS k
+              FROM documents
+            ), b1 AS (
+              SELECT doc_id, ((k + 7) * {_SCRAMBLE}) % {_MOD} AS b FROM b0
+            ), b2 AS (
+              SELECT doc_id, (xor(b, b >> 16) * {_MIX}) % {_MOD} AS b FROM b1
+            ), b3 AS (
+              SELECT doc_id, xor(b, b >> 13) AS b FROM b2
+            )
+            SELECT doc_id,
+                   CASE WHEN b < {t_train} THEN 'train'
+                        WHEN b < {t_val} THEN 'val'
+                        ELSE 'test' END
+            FROM b3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_stable_under_repartition_and_weights(spark, docs):
+    a = dataset_split(docs, "doc_id").select("doc_id", "split")
+    b = dataset_split(docs.repartition(13), "doc_id").select("doc_id", "split")
+    pa = {r.doc_id: r.split for r in a.collect()}
+    pb = {r.doc_id: r.split for r in b.collect()}
+    assert pa == pb  # partitioning-independent, unlike DataFrame.sample
+
+    n = docs.count()
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # different salt -> different assignment (salt actually participates)
+    c = {r.doc_id: r.split for r in dataset_split(docs, "doc_id", salt=99).collect()}
+    assert c != pa
+
+
+def test_stratified_sample_exact_and_per_stratum(spark, docs):
+    # uniform: the SAME keys survive every run; fraction is respected
+    s1 = {r.doc_id for r in stratified_sample(docs, 0.25, key_col="doc_id").collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs, 0.25, key_col="doc_id").collect()}
+    assert s1 == s2
+    n = docs.count()
+    assert abs(len(s1) / n - 0.25) < 0.08
+    # nested property: a smaller fraction is a SUBSET of a larger one
+    s_small = {r.doc_id for r in stratified_sample(docs, 0.1, key_col="doc_id").collect()}
+    assert s_small <= s1
+
+    # per-stratum: only listed strata survive, at their own rates
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1:]
+    out = stratified_sample(docs, {keep: 1.0}, strata_col="lang").collect()
+    assert {r.lang for r in out} == {keep}
+    assert len(out) == docs.where(F.col("lang") == keep).count()
+
+
+def test_weighted_mixture_tags_rates_and_guards(spark, docs):
+    half = docs.where(F.col("doc_id") < 400)  # not limit(): that adds an Exchange
+    out = weighted_mixture(
+        {"web": half, "books": half}, {"web": 1.0, "books": 0.5}
+    )
+    n_web = out.where(F.col("source") == "web").count()
+    n_books = out.where(F.col("source") == "books").count()
+    assert n_web == 400
+    assert abs(n_books / 400 - 0.5) < 0.15
+    # map-side only: the mixture plan must contain no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rate"):
+        weighted_mixture({"a": half}, {})
+    with pytest.raises(ValueError, match="0, 1"):
+        weighted_mixture({"a": half}, {"a": 1.5})
