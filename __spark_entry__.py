@@ -1035,6 +1035,26 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_packing.py pins exactly-once coverage, hard
+    budget, utilization > 0.85, partition-independence): chunk the documents
+    table into 64-token windows, pack chunks into 256-token training
+    contexts (deterministic first-fit-decreasing per hash group), summarize
+    per context."""
+    from stac_catalog_builder_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=0).select(
+        F.concat_ws("_", "doc_id", "chunk_idx").alias("chunk_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = pack_sequences(chunks, budget=256)
+    return packed.groupBy("context_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1115,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cellring_fixed": q_knn_cellring_fixed,
         "dataset_split": q_dataset_split,
         "data_mixture": q_data_mixture,
+        "sequence_pack": q_sequence_pack,
     }
 
 

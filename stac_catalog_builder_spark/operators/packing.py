@@ -1,0 +1,105 @@
+"""Sequence packing: assemble document chunks into fixed-token-budget
+training contexts.
+
+The last mile of a pretraining data pipeline: given chunk rows with token
+counts (e.g. from ``textops.chunk_documents``), group them into contexts of
+at most ``budget`` tokens with high utilization. Exact global bin packing
+is inherently sequential, so the distributed shape is the standard one:
+
+1. every chunk is assigned to a PACK GROUP by the deterministic key hash
+   from ``operators.sampling`` (NOT Spark's partition id — group membership
+   must not depend on partitioning, task retries, or cluster size);
+2. each group is packed independently with first-fit-decreasing (an
+   ``applyInPandas`` per group — groups are ``total_tokens / group_budget``
+   sized, thousands of chunks each, so FFD's 11/9-OPT bound applies per
+   group and utilization stays high);
+3. context ids are ``{group}_{local_bin}`` — globally unique and stable.
+
+One shuffle (the groupBy), vectorized packing, deterministic output. At
+10^12 chunks the group count scales with the data (fixed chunks-per-group),
+so no group outgrows an executor.
+
+Reference parity: none (the reference has no training-data surface); this
+extends SURVEY.md §2's beyond-reference operator set alongside
+dedup/sampling/chunking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _bucket
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    chunks_per_group: int = 4096,
+    n_groups: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Pack chunk rows into contexts of <= ``budget`` tokens.
+
+    Returns the input columns plus ``context_id`` (string, globally unique)
+    and ``context_pos`` (0-based position within the context). Chunks larger
+    than ``budget`` raise at execution time — oversized chunks are a
+    chunking bug, and packing them silently would emit over-budget contexts.
+
+    ``n_groups`` fixes the pack-group count; by default it is derived from
+    ``chunks_per_group`` with one cheap count (at production scale, pass it
+    from lake statistics instead).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if n_groups is None:
+        n = chunks.count()
+        n_groups = max(1, (n + chunks_per_group - 1) // chunks_per_group)
+
+    grouped = chunks.withColumn(
+        "pack_group", F.pmod(_bucket(F.col(id_col), salt), F.lit(int(n_groups)))
+    )
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in grouped.schema.fields
+    )
+    schema = f"{out_fields}, context_id string, context_pos int"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = int(pdf["pack_group"].iloc[0])
+        bad = pdf[pdf[tokens_col] > budget]
+        if len(bad):
+            raise ValueError(
+                f"chunk(s) exceed the packing budget {budget}: "
+                f"{bad[id_col].head(3).tolist()} (n={len(bad)})"
+            )
+        # first-fit-decreasing, deterministic tiebreak on the id
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_space: list[int] = []  # remaining tokens per open bin
+        bin_of = []
+        pos_of = []
+        bin_count: list[int] = []
+        for t in pdf[tokens_col].astype(int):
+            for i, space in enumerate(bin_space):
+                if t <= space:
+                    bin_space[i] = space - t
+                    bin_of.append(i)
+                    pos_of.append(bin_count[i])
+                    bin_count[i] += 1
+                    break
+            else:
+                bin_of.append(len(bin_space))
+                pos_of.append(0)
+                bin_space.append(budget - t)
+                bin_count.append(1)
+        pdf["context_id"] = [f"{group}_{b}" for b in bin_of]
+        pdf["context_pos"] = pd.array(pos_of, dtype="int32")
+        return pdf
+
+    return grouped.groupBy("pack_group").applyInPandas(pack, schema=schema)

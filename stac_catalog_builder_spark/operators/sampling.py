@@ -42,9 +42,9 @@ _MOD = 2**31
 def _bucket(key_col: Column, salt: int) -> Column:
     """Deterministic uniform bucket in [0, 2^31) from an integer (or
     integer-castable) key. String keys fold through xxhash64 first."""
-    k = F.when(
-        key_col.cast("bigint").isNotNull(), key_col.cast("bigint")
-    ).otherwise(F.xxhash64(key_col))
+    # try_cast, not cast: ANSI mode (Spark 4 default) ERRORS on a
+    # non-numeric string instead of returning NULL
+    k = F.coalesce(key_col.try_cast("bigint"), F.xxhash64(key_col))
     k = F.pmod(F.shiftright(k, 31).bitwiseXOR(k), F.lit(_MOD))
     b = F.pmod((k + F.lit(int(salt))) * F.lit(_SCRAMBLE), F.lit(_MOD))
     b = F.pmod(b.bitwiseXOR(F.shiftright(b, 16)) * F.lit(_MIX), F.lit(_MOD))
@@ -106,6 +106,37 @@ def stratified_sample(
             expr = cond if expr is None else expr | cond
         return df.where(expr)
     return df.where(b < F.lit(int(float(fractions) * _MOD)))
+
+
+def upsample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    copy_col: str = "copy_n",
+) -> DataFrame:
+    """Deterministic replication at ``rate`` >= 0: every row yields
+    ``floor(rate)`` copies plus one more iff its key bucket falls under the
+    fractional part — so expected output is exactly ``rate * n`` with the
+    same per-key determinism as the samplers (a key's copy count never
+    changes across runs or repartitioning). ``copy_col`` numbers the copies
+    (0-based) so downstream shuffles/dedups can distinguish them. Map-side
+    explode, no shuffle. This is the rate > 1 counterpart of
+    ``weighted_mixture`` (which deliberately caps rates at 1)."""
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0: {rate}")
+    whole = int(rate)
+    frac = float(rate) - whole
+    n_copies = F.lit(whole) + (
+        _bucket(F.col(key_col), salt) < F.lit(int(frac * _MOD))
+    ).cast("int")
+    # sequence(0, n-1) DESCENDS for n=0 (Spark defaults step to -1), which
+    # would fabricate copies for dropped rows — route n=0 through an empty
+    # array instead (explode emits nothing for it)
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
 
 
 def weighted_mixture(

@@ -15,6 +15,7 @@ from stac_catalog_builder_spark.operators.sampling import (
     _SCRAMBLE,
     dataset_split,
     stratified_sample,
+    upsample,
     weighted_mixture,
 )
 
@@ -111,3 +112,25 @@ def test_weighted_mixture_tags_rates_and_guards(spark, docs):
         weighted_mixture({"a": half}, {})
     with pytest.raises(ValueError, match="0, 1"):
         weighted_mixture({"a": half}, {"a": 1.5})
+
+
+def test_upsample_rate_copies_and_determinism(spark, docs):
+    n = docs.count()
+    out = upsample(docs, 2.5, key_col="doc_id")
+    m = out.count()
+    assert abs(m / n - 2.5) < 0.2
+    # whole copies present for every key; copy_n dense from 0
+    per_key = out.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.max("copy_n").alias("mx")
+    )
+    rows = per_key.collect()
+    assert all(r.c in (2, 3) and r.mx == r.c - 1 for r in rows)
+    # deterministic: same copy count per key across runs
+    again = {r.doc_id: r.c for r in upsample(docs, 2.5).groupBy("doc_id").agg(F.count("*").alias("c")).collect()}
+    assert {r.doc_id: r.c for r in rows} == again
+    # rate < 1 behaves like sampling (no fabricated copies)
+    frac = upsample(docs, 0.25).count()
+    assert abs(frac / n - 0.25) < 0.08
+    assert upsample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError, match=">= 0"):
+        upsample(docs, -1.0)
