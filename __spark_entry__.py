@@ -1055,6 +1055,31 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_incremental.py asserts exact equality with the
+    full recompute): incremental catalog maintenance — fold two appended
+    asset batches into a bootstrapped per-(collection, tile) extent summary
+    without rescanning history (all extent statistics are algebraic, so the
+    merge is exact; the reference instead re-reads every item per update,
+    builder.py:484-510)."""
+    from stac_catalog_builder_spark.operators.grouping import incremental_extents
+
+    keys = ["collection_id", "tile_id"]
+    assigned = _assigned(spark, sf_dir)
+    s = incremental_extents(None, assigned.where(F.col("img_key") % 3 == 0), keys)
+    s = incremental_extents(s, assigned.where(F.col("img_key") % 3 == 1), keys)
+    s = incremental_extents(s, assigned.where(F.col("img_key") % 3 == 2), keys)
+    return s.select(
+        "collection_id",
+        "tile_id",
+        "n_assets",
+        F.floor(F.col("ext_w") * 1e6 + F.lit(0.5)).cast("bigint").alias("ext_w_e6"),
+        F.floor(F.col("ext_n") * 1e6 + F.lit(0.5)).cast("bigint").alias("ext_n_e6"),
+        F.unix_timestamp("dt_min").alias("dt_min_s"),
+        F.unix_timestamp("dt_max").alias("dt_max_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1136,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "data_mixture": q_data_mixture,
         "sequence_pack": q_sequence_pack,
+        "incremental_extents": q_incremental_extents,
     }
 
 

@@ -147,7 +147,14 @@ def salted_extent_agg(
     """
     salt = F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets)).alias("_salt")
     phase1 = assigned.withColumn("_salt", salt).groupBy(key, "_salt").agg(*_extent_aggs())
-    return phase1.groupBy(key).agg(
+    return phase1.groupBy(key).agg(*_merge_extent_aggs())
+
+
+def _merge_extent_aggs() -> list:
+    """Merge-side aggregates for already-aggregated extent summaries. Every
+    extent statistic is algebraic (sum/min/max), so merging partials is
+    EXACT — the same property salted_extent_agg exploits per-key."""
+    return [
         F.sum("n_assets").alias("n_assets"),
         F.min("ext_w").alias("ext_w"),
         F.min("ext_s").alias("ext_s"),
@@ -155,4 +162,36 @@ def salted_extent_agg(
         F.max("ext_n").alias("ext_n"),
         F.min("dt_min").alias("dt_min"),
         F.max("dt_max").alias("dt_max"),
-    )
+    ]
+
+
+def merge_extent_summaries(keys: list[str], *summaries: DataFrame) -> DataFrame:
+    """Merge any number of per-key extent summaries (outputs of
+    ``collection_extents`` / previous merges) into one, exactly."""
+    if not summaries:
+        raise ValueError("need at least one summary")
+    merged = summaries[0]
+    for s in summaries[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(*_merge_extent_aggs())
+
+
+def incremental_extents(
+    prev_summary: DataFrame | None, new_assigned: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental catalog maintenance: fold a batch of NEWLY ASSIGNED
+    assets into an existing per-key extent summary without rescanning
+    history — the shape a 100 TB catalog needs for daily appends (the
+    reference rebuilds collection extents from every item each run,
+    builder.py:484-510; at lake scale that is a full-history pass per
+    update). Cost: one aggregation over the INCREMENT plus a merge with the
+    dimension-sized previous summary. Exact because every extent statistic
+    is algebraic; consequently APPEND-ONLY — deletions would need
+    re-aggregation of the affected keys (min/max are not subtractable),
+    which callers do by recomputing just those keys' facts.
+
+    ``prev_summary=None`` bootstraps (first batch)."""
+    inc = collection_extents(new_assigned, keys)
+    if prev_summary is None:
+        return inc
+    return merge_extent_summaries(keys, prev_summary, inc)
