@@ -103,6 +103,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "sessionize",
         "spatial_join_partitioned",
         "dedup_groups",
+        "sequence_pack",
     ]
     qs = e.queries()
     for name in bench_queries:
