@@ -1055,6 +1055,39 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_multimodal.py proves every augmented payload
+    decodes to exactly the numpy transform of its source, byte-identical
+    across runs): deterministic vision-training augmentation — each image
+    expands to 4 op-tagged variants (flip/rotate/center-crop/brightness),
+    no RNG, Arrow-batched, shuffle-free. Emits per-variant dims + payload
+    crc32 so the driver's row check pins actual bytes."""
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 500)
+    )
+    out = multimodal.augment_images(
+        imgs, ops=("hflip", "rot90", "crop0.5", "bright+24")
+    )
+    return out.select(
+        "image_id", "aug_op", "w", "h", F.crc32(F.col("bytes")).alias("payload_crc")
+    )
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_dedup.py proves the Hamming-ball join exact vs
+    brute force and pins the re-encode/exact-copy behavior): perceptual-hash
+    near-duplicate IMAGE pairs over the lake's phash:int64 column — inject a
+    2-bit-flipped twin per image (a re-encode simulacrum); every twin must
+    pair with its source at hamming 2 with zero pixel decodes."""
+    imgs = synth.images(spark, sf_dir).select("image_id", "phash")
+    twins = imgs.select(
+        F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b10001)).alias("phash"),
+    )
+    pairs = dedup.phash_neardup_pairs(imgs.unionByName(twins), max_hamming=6)
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 def q_incremental_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (pytest test_incremental.py asserts exact equality with the
     full recompute): incremental catalog maintenance — fold two appended
@@ -1162,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture": q_data_mixture,
         "sequence_pack": q_sequence_pack,
         "incremental_extents": q_incremental_extents,
+        "phash_neardup": q_phash_neardup,
+        "image_augment": q_image_augment,
     }
 
 

@@ -258,35 +258,98 @@ def simhash_candidate_pairs(
     ``SALT_METRICS['simhash_pairs']`` records oversized-bucket and affected
     row counts per call (0 oversized => the pigeonhole guarantee holds
     exactly)."""
+    # collapse on the TEXT before hashing: the sketch UDF (the dominant
+    # cost) runs once per DISTINCT text, and identical texts star-collapse
+    # at hamming 0 exactly as identical sketches would
     reps, star = _exact_collapse(
         df.select(key_col, text_col), key_col, text_col, tag="simhash_pairs"
     )
     sh = with_simhash(reps, text_col).select(key_col, "simhash")
-    blocks = sh.select(
+    rep_pairs = hamming_candidate_pairs(
+        sh,
+        key_col=key_col,
+        sketch_col="simhash",
+        max_hamming=3,
+        max_bucket=max_bucket,
+        tag="simhash_pairs",
+        collapse_identical=False,  # star handled here, on the text
+    )
+    return rep_pairs.unionByName(star.withColumn("hamming", F.lit(0).cast("int")))
+
+
+def hamming_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    sketch_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    tag: str = "hamming_pairs",
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs for ANY 64-bit sketch column at Hamming
+    distance <= ``max_hamming`` (CONNECTIVITY-PRESERVING, see
+    ``_exact_collapse``) — the engine's generic Hamming-ball self-join,
+    shared by text simhash and image perceptual hashes.
+
+    Pigeonhole: the sketch splits into ``max_hamming + 1`` bit blocks, so
+    two sketches within the ball agree exactly on >= 1 block -> equi-join
+    per (block, value) bucket, verify with JVM ``bit_count``. Same 100 TB
+    guards as the text LSH family: byte-identical sketches collapse to star
+    pairs (hamming 0) before the block join bounds the classic
+    identical-payload bucket, and residual oversized buckets are salted —
+    ``SALT_METRICS[tag]`` records the (observable) recall trade.
+
+    ``collapse_identical=False`` skips the sketch-level star collapse for
+    callers that already collapsed upstream on the raw payload (simhash
+    collapses on the TEXT so its sketch UDF runs once per distinct text);
+    such callers union their own star pairs.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(f"max_hamming must be in [0, 15]: {max_hamming}")
+    n_blocks = max_hamming + 1
+    if collapse_identical:
+        reps, star = _exact_collapse(
+            df.select(key_col, sketch_col),
+            key_col,
+            sketch_col,
+            hash_expr=F.md5(F.col(sketch_col).cast("string")),
+            tag=tag,
+        )
+    else:
+        reps, star = df.select(key_col, sketch_col), None
+    # block i covers bits [i*64//n, (i+1)*64//n) — widths differ by at most
+    # one bit when 64 % n_blocks != 0; shiftright sign-extends but the mask
+    # truncates to the block width, so negative sketches are handled
+    bounds = [(i * 64 // n_blocks, (i + 1) * 64 // n_blocks) for i in range(n_blocks)]
+    blocks = reps.select(
         key_col,
-        "simhash",
+        sketch_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftright(sketch_col, lo)
+                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                        .alias("val"),
                     )
-                    for i in range(4)
+                    for i, (lo, hi) in enumerate(bounds)
                 ]
             )
         ).alias("b"),
     ).select(
         key_col,
-        "simhash",
-        (F.col("b.blk").cast("bigint") * F.lit(65536) + F.col("b.val")).alias("bucket"),
+        sketch_col,
+        (F.col("b.blk").cast("bigint") * F.lit(2**33) + F.col("b.val")).alias(
+            "bucket"
+        ),
     )
     # pre-salt persist of the POST-explode block table (same reasoning as
     # minhash_candidate_pairs): the bucket-size stats job and both self-join
-    # sides consume it — caching upstream of the explode would re-run the 4x
-    # block expansion and the size-agg shuffle per subtree
-    blocks = cache.scoped_persist("simhash_pairs", blocks)
-    blocks = _salt_hot_buckets(blocks, key_col, max_bucket, tag="simhash_pairs")
+    # sides consume it — caching upstream of the explode would re-run the
+    # n_blocks-x expansion and the size-agg shuffle per subtree
+    blocks = cache.scoped_persist(tag, blocks)
+    blocks = _salt_hot_buckets(blocks, key_col, max_bucket, tag=tag)
     l, r = blocks.alias("l"), blocks.alias("r")
     rep_pairs = (
         l.join(r, ["bucket", "salt"])
@@ -295,13 +358,39 @@ def simhash_candidate_pairs(
             F.col(f"l.{key_col}").alias("id_a"),
             F.col(f"r.{key_col}").alias("id_b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col(f"l.{sketch_col}").bitwiseXOR(F.col(f"r.{sketch_col}"))
             ).alias("hamming"),
         )
-        .where(F.col("hamming") <= 3)
-        .distinct()  # docs sharing several blocks; star pairs unique already
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # sketches sharing several blocks; star pairs unique already
     )
+    if star is None:
+        return rep_pairs
     return rep_pairs.unionByName(star.withColumn("hamming", F.lit(0).cast("int")))
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    key_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs — the image-payload
+    counterpart of ``simhash_candidate_pairs``, over the lake table's
+    precomputed ``phash:int64`` column (the input contract carries it, so
+    no pixel decode happens here at all: candidate generation is pure
+    sketch arithmetic on 10^12 rows). ``max_hamming=6`` is the usual
+    near-duplicate band for 64-bit perceptual hashes (re-encodes, small
+    crops); identical frames collapse to star pairs first."""
+    return hamming_candidate_pairs(
+        images.select(key_col, phash_col),
+        key_col=key_col,
+        sketch_col=phash_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        tag="phash_neardup",
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -177,6 +177,76 @@ def resize_images(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     )
 
 
+def _apply_augment(arr: "np.ndarray", op: str) -> "np.ndarray":
+    """One deterministic augmentation on a decoded HxW uint8 array. Pure
+    numpy, total function of (pixels, op) — no RNG, so the same input always
+    produces byte-identical output (training-data reproducibility)."""
+    if op == "hflip":
+        return arr[:, ::-1]
+    if op == "vflip":
+        return arr[::-1]
+    if op in ("rot90", "rot180", "rot270"):
+        return np.rot90(arr, k=int(op[3:]) // 90)
+    if op.startswith("crop"):
+        f = float(op[4:])
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"crop fraction out of (0, 1]: {op}")
+        h, w = arr.shape
+        ch, cw = max(1, int(h * f)), max(1, int(w * f))
+        top, left = (h - ch) // 2, (w - cw) // 2
+        return arr[top : top + ch, left : left + cw]
+    if op.startswith("bright"):
+        delta = int(op[6:])
+        return np.clip(arr.astype(np.int32) + delta, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown augmentation op: {op}")
+
+
+def augment_images(
+    df: DataFrame,
+    ops: tuple[str, ...] = ("hflip", "rot90", "crop0.8", "bright+24"),
+    out_fmt: str = "raw",
+) -> DataFrame:
+    """Deterministic image augmentation: each input image yields one row per
+    op (``aug_op`` column) with the transformed payload re-encoded — the
+    dataset-expansion stage of a vision training pipeline, Spark-shaped:
+    Arrow-batched mapInPandas, bounded memory per batch, no shuffle (a pure
+    map-side multiplier like ``sampling.upsample``), and NO RNG — the op
+    list is explicit and the kernels are total functions, so outputs are
+    byte-identical across runs/retries (`DataFrame.sample`-style per-task
+    randomness would make augmented corpora unreproducible).
+
+    Ops: hflip, vflip, rot90/180/270, crop{frac} (center), bright{+/-n}.
+    Invalid ops raise at planning time (the list is validated eagerly,
+    not inside executor tasks)."""
+    probe = np.zeros((4, 4), dtype=np.uint8)
+    for op in ops:
+        _apply_augment(probe, op)  # validate op strings driver-side
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image(r.bytes, r.fmt)
+                for op in ops:
+                    out = np.ascontiguousarray(_apply_augment(arr, op))
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "aug_op": op,
+                            "bytes": encode_image(out, out_fmt),
+                            "w": out.shape[1],
+                            "h": out.shape[0],
+                            "fmt": out_fmt,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        gen,
+        schema="image_id string, aug_op string, bytes binary, w int, h int, fmt string",
+    )
+
+
 def image_embedding(df: DataFrame, dim: int = 16) -> DataFrame:
     """Cheap content embedding: block-mean grid flattened + L2-normalized —
     the feature-extraction slot (a real model would replace the kernel; the

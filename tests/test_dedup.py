@@ -234,3 +234,77 @@ def test_salt_metrics_observable(spark):
     dedup.simhash_candidate_pairs(docs).count()
     assert "simhash_pairs" in dedup.SALT_METRICS
     cache.release()
+
+
+def test_hamming_candidate_pairs_exact_vs_bruteforce(spark):
+    """The generic Hamming-ball self-join must return EXACTLY the brute-force
+    pair set (pigeonhole is a guarantee, not a heuristic) while no bucket is
+    oversized — verified on random 64-bit sketches plus planted near-dups,
+    at two different max_hamming block layouts (4 blocks and 7, where 64 is
+    not divisible by the block count)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(120)]
+    rows = [(i, s) for i, s in enumerate(base)]
+    # planted near-dups: flip 1..6 bits of the first 30 sketches
+    for j, s in enumerate(base[:30]):
+        flipped = s
+        for b in rng.sample(range(64), 1 + j % 6):
+            flipped ^= 1 << b
+        if flipped >= 1 << 63:
+            flipped -= 1 << 64
+        rows.append((1000 + j, flipped))
+    df = spark.createDataFrame(rows, "doc_id bigint, sketch bigint")
+
+    def brute(h):
+        out = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= h:
+                out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    for h in (3, 6):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.hamming_candidate_pairs(
+                df, "doc_id", "sketch", max_hamming=h, tag=f"t{h}"
+            ).collect()
+        }
+        assert got == brute(h), f"max_hamming={h}"
+        assert dedup.SALT_METRICS[f"t{h}"]["oversized_buckets"] == 0
+    from stac_catalog_builder_spark import cache
+
+    cache.release()
+
+
+def test_phash_neardup_pairs_finds_reencodes(spark):
+    """Image-payload near-dup: bit-flipped phash copies (re-encode
+    simulacra) pair with their source at the flip distance; exact phash
+    copies star-collapse at hamming 0."""
+    from stac_catalog_builder_spark import cache, synth
+
+    imgs = synth.images(spark, SF).select("image_id", "phash").limit(300)
+    twins = imgs.select(
+        F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b10001)).alias("phash"),  # 2 bits
+    )
+    exact = imgs.select(
+        F.concat(F.lit("cp_"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    corpus = imgs.unionByName(twins).unionByName(exact)
+    pairs = dedup.phash_neardup_pairs(corpus, max_hamming=6).toPandas()
+    byab = {(a, b): h for a, b, h in pairs.itertuples(index=False)}
+
+    for r in imgs.collect():
+        # the 2-bit twin is found (directly or via the exact-copy star rep)
+        assert any(
+            (r.image_id in k or "cp_" + r.image_id in k)
+            and ("re_" + r.image_id) in k
+            and h == 2
+            for k, h in byab.items()
+        ), r.image_id
+        # exact copy collapses at hamming 0
+        assert byab.get((("cp_" + r.image_id), r.image_id), byab.get((r.image_id, "cp_" + r.image_id))) == 0
+    cache.release()

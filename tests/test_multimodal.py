@@ -315,3 +315,53 @@ def test_zonal_stats_multi_zone_assignment(spark):
     assert set(base.index) == set(dup.index)
     for col in ("n_images", "min_mean_x1000", "max_mean_x1000"):
         assert (base[col] == dup[col]).all(), col
+
+
+def test_augment_images_numpy_oracle_and_determinism(spark):
+    """Augmented payloads must decode to exactly the numpy transform of the
+    decoded original (per op), be byte-identical across runs (no RNG), and
+    respect involution/composition properties."""
+    import numpy as np
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.functions.codecs import decode_image, make_raster
+    from stac_catalog_builder_spark.operators import multimodal
+
+    SF = "/root/testdata/sf0.001"
+    imgs = multimodal.with_encoded_bytes(synth.images(spark, SF).limit(40))
+    ops = ("hflip", "vflip", "rot90", "rot270", "crop0.5", "bright-30")
+    out = multimodal.augment_images(imgs, ops=ops).toPandas()
+    assert len(out) == 40 * len(ops)
+
+    src = {
+        r.image_id: make_raster(int(r.phash), int(r.w), int(r.h))
+        for r in imgs.select("image_id", "phash", "w", "h").collect()
+    }
+    for r in out.itertuples(index=False):
+        got = decode_image(r.bytes, r.fmt)
+        want = multimodal._apply_augment(src[r.image_id], r.aug_op)
+        assert got.shape == (r.h, r.w)
+        assert np.array_equal(got, want), (r.image_id, r.aug_op)
+
+    # determinism: second run byte-identical
+    out2 = multimodal.augment_images(imgs, ops=ops).toPandas()
+    a = out.sort_values(["image_id", "aug_op"]).reset_index(drop=True)
+    b = out2.sort_values(["image_id", "aug_op"]).reset_index(drop=True)
+    assert (a["bytes"] == b["bytes"]).all()
+
+    # involution: hflip twice == identity
+    one = imgs.limit(1)
+    flipped = multimodal.augment_images(one, ops=("hflip",)).select(
+        "image_id", "bytes", "fmt"
+    )
+    back = multimodal.augment_images(flipped, ops=("hflip",)).toPandas()
+    orig = src[back["image_id"].iloc[0]]
+    assert np.array_equal(decode_image(back["bytes"].iloc[0], "raw"), orig)
+
+    # invalid ops raise driver-side, before any job runs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown augmentation"):
+        multimodal.augment_images(imgs, ops=("zoom2x",))
+    with _pytest.raises(ValueError, match="crop fraction"):
+        multimodal.augment_images(imgs, ops=("crop1.5",))
