@@ -144,7 +144,11 @@ def _adaptive_radii(
         for qc in q_cells
         for c in hex_kring_np(int(qc), r_inner_max)
     }
-    inner_df = spark.createDataFrame([(c,) for c in sorted(inner)], "cell bigint")
+    # Arrow path (pandas), not a python tuple list: createDataFrame over
+    # py4j pickles row-by-row — measurable at 10^4+ rows per call
+    inner_df = spark.createDataFrame(
+        pd.DataFrame({"cell": np.fromiter(sorted(inner), dtype=np.int64)})
+    )
     cnt = {
         r["cell"]: r["n"]
         for r in fact.join(F.broadcast(inner_df), "cell")
@@ -243,6 +247,14 @@ def knn_join_cellring(
     fact = images.select("image_id", "lon", "lat", cell.alias("cell"))
 
     if ring_radius is None:
+        if cell_col is None:
+            # adaptive mode runs TWO jobs over the fact side (the cell-count
+            # statistics aggregate, then the candidate join); without a
+            # precomputed cell column each would re-run the encode UDF over
+            # the whole table — persist the derived (id, lon, lat, cell)
+            # projection across them. A lake table with a stored cell column
+            # (the production shape) skips both the UDF and this cache.
+            fact = cache.scoped_persist("knn_cellring_fact", fact)
         radii = _adaptive_radii(
             fact, queries_pdf, q_cells, k, res, shrink, alpha, r_inner_max, r_max
         )
@@ -260,12 +272,23 @@ def knn_join_cellring(
         | (radii < 0)
     )
 
-    pairs: list[tuple[str, int]] = []
+    qid_chunks: list[np.ndarray] = []
+    cell_chunks: list[np.ndarray] = []
     for i, qid in enumerate(queries_pdf["query_id"]):
         if edge_unsafe[i]:
             continue
-        pairs.extend((qid, int(c)) for c in hex_kring_np(int(q_cells[i]), int(radii[i])))
-    ring_df = spark.createDataFrame(pairs, "query_id string, cell bigint")
+        ring = hex_kring_np(int(q_cells[i]), int(radii[i]))
+        qid_chunks.append(np.full(len(ring), qid, dtype=object))
+        cell_chunks.append(ring.astype(np.int64))
+    ring_pdf = pd.DataFrame(
+        {
+            "query_id": np.concatenate(qid_chunks) if qid_chunks else np.array([], dtype=object),
+            "cell": np.concatenate(cell_chunks) if cell_chunks else np.array([], dtype=np.int64),
+        }
+    )
+    # Arrow path: a python tuple list here costs a py4j pickle per ring cell
+    # (10^4-10^5 rows per call in adaptive mode)
+    ring_df = spark.createDataFrame(ring_pdf, "query_id string, cell bigint")
     qdim = spark.createDataFrame(queries_pdf)
 
     cand = fact.join(F.broadcast(ring_df), "cell").join(F.broadcast(qdim), "query_id")
