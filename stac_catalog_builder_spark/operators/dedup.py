@@ -304,8 +304,14 @@ def hamming_candidate_pairs(
     collapses on the TEXT so its sketch UDF runs once per distinct text);
     such callers union their own star pairs.
     """
-    if not 0 <= max_hamming <= 15:
-        raise ValueError(f"max_hamming must be in [0, 15]: {max_hamming}")
+    if not 1 <= max_hamming <= 15:
+        # 0 would mean exact sketch equality — that is dedup_exact /
+        # _exact_collapse territory, and its single 64-bit "block" mask
+        # does not even fit an int64 literal
+        raise ValueError(
+            f"max_hamming must be in [1, 15] (0 == exact match: use "
+            f"dedup_exact): {max_hamming}"
+        )
     n_blocks = max_hamming + 1
     if collapse_identical:
         reps, star = _exact_collapse(

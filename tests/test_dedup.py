@@ -308,3 +308,11 @@ def test_phash_neardup_pairs_finds_reencodes(spark):
         # exact copy collapses at hamming 0
         assert byab.get((("cp_" + r.image_id), r.image_id), byab.get((r.image_id, "cp_" + r.image_id))) == 0
     cache.release()
+
+
+def test_hamming_pairs_rejects_degenerate_radius(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id bigint, sketch bigint")
+    with pytest.raises(ValueError, match="dedup_exact"):
+        dedup.hamming_candidate_pairs(df, "doc_id", "sketch", max_hamming=0)
+    with pytest.raises(ValueError, match="1, 15"):
+        dedup.hamming_candidate_pairs(df, "doc_id", "sketch", max_hamming=16)
