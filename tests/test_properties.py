@@ -132,3 +132,71 @@ def test_batch_kernels_equal_per_doc_on_arbitrary_unicode(texts):
         assert (sigs[i] == minhash_signature(t)).all()
         assert fps[i] == rolling_fingerprint(t)
         assert shs[i] == simhash64(t.split(" "))
+
+
+@given(
+    st.integers(0, 2**8 - 1),
+    st.integers(2, 40),
+    st.integers(2, 40),
+    st.sampled_from(["hflip", "vflip", "rot90", "rot180", "rot270"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_augment_kernels_total_and_involutive(seed, w, h, op):
+    """Augment kernels are total on any dims; flips are involutions; four
+    rot90s are the identity; pixel multiset is preserved (no resampling)."""
+    from stac_catalog_builder_spark.functions.codecs import make_raster
+    from stac_catalog_builder_spark.operators.multimodal import _apply_augment
+
+    arr = make_raster(seed * 2654435761 + 7, w, h)
+    out = _apply_augment(arr, op)
+    assert sorted(out.ravel()) == sorted(arr.ravel())  # permutation only
+    if op in ("hflip", "vflip", "rot180"):
+        assert np.array_equal(_apply_augment(out, op), arr)  # involution
+    if op == "rot90":
+        four = arr
+        for _ in range(4):
+            four = _apply_augment(four, "rot90")
+        assert np.array_equal(four, arr)
+
+
+@given(st.integers(0, 255), st.integers(3, 30), st.integers(3, 30))
+@settings(max_examples=40, deadline=None)
+def test_augment_crop_and_brightness_bounds(seed, w, h):
+    from stac_catalog_builder_spark.functions.codecs import make_raster
+    from stac_catalog_builder_spark.operators.multimodal import _apply_augment
+
+    arr = make_raster(seed + 1, w, h)
+    crop = _apply_augment(arr, "crop0.5")
+    assert crop.shape == (max(1, h // 2), max(1, w // 2))
+    assert crop.dtype == arr.dtype
+    bright = _apply_augment(arr, "bright+200")
+    assert bright.dtype == np.uint8 and bright.max() <= 255
+    assert (bright >= arr).all()
+    dim = _apply_augment(arr, "bright-200")
+    assert dim.min() >= 0 and (dim <= arr).all()
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_hamming_block_pigeonhole_cover(sketches):
+    """Driver-side check of the pigeonhole block layout used by
+    hamming_candidate_pairs: for any two sketches within distance h, at
+    least one of the h+1 blocks must be equal (the recall guarantee the
+    Spark join relies on), for every h in 1..15."""
+    import random
+
+    rng = random.Random(7)
+    for h in (1, 3, 6, 15):
+        n_blocks = h + 1
+        bounds = [
+            (i * 64 // n_blocks, (i + 1) * 64 // n_blocks) for i in range(n_blocks)
+        ]
+        for s in sketches[:20]:
+            u = s & ((1 << 64) - 1)
+            v = u
+            for b in rng.sample(range(64), h):
+                v ^= 1 << b
+            assert any(
+                (u >> lo) & ((1 << (hi - lo)) - 1) == (v >> lo) & ((1 << (hi - lo)) - 1)
+                for lo, hi in bounds
+            )
