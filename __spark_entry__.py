@@ -1055,6 +1055,23 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_textops.py pins exact n-gram boundary
+    semantics and the broadcast-only plan): benchmark decontamination — the
+    first 10 documents play the eval set; every training doc sharing a
+    13-gram with them is dropped and reported (GPT-3-style rule). The
+    synthetic corpus's template near-dups make hits non-trivial. Emits the
+    contamination report plus a one-row summary of the clean count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 10).select("text")
+    clean, report = textops.decontaminate(docs, bench, n=13)
+    summary = clean.agg(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+    return report.unionByName(summary)
+
+
 def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (pytest test_multimodal.py proves every augmented payload
     decodes to exactly the numpy transform of its source, byte-identical
@@ -1197,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_extents": q_incremental_extents,
         "phash_neardup": q_phash_neardup,
         "image_augment": q_image_augment,
+        "decontaminate": q_decontaminate,
     }
 
 

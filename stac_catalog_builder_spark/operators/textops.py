@@ -182,3 +182,68 @@ def repetition_stats(
         .cast("bigint")
         .alias("top_share_x1000"),
     )
+
+
+def _ngram_hashes(df: DataFrame, n: int, text_col: str, key_col: str) -> DataFrame:
+    """(key, xxhash64 of each word n-gram) rows, pure JVM: slice windows via
+    transform over an index sequence, hash the joined n-gram. Docs shorter
+    than n tokens contribute nothing."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS (default step -1) and would hand slice() an
+    # invalid start for docs shorter than n tokens — such docs must emit an
+    # EMPTY gram array instead
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(key_col), F.explode(grams).alias("gram_hash"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop every training document sharing at
+    least one word ``n``-gram with the benchmark/eval set (the GPT-3-style
+    13-gram exact-overlap rule) -> (clean_docs, contamination_report).
+
+    100 TB shape: the benchmark side is dimension-sized (eval suites are
+    thousands of documents), so its distinct n-gram hash set broadcasts;
+    the train side explodes to (doc, gram_hash) map-side and the overlap is
+    a broadcast semi-join — the fact table is never shuffled. The report
+    (doc_id, n_hits) is an aggregate over the matched rows only; the clean
+    set is a broadcast anti-join of ``docs`` against the contaminated ids.
+    All hashing is JVM xxhash64 over joined token windows — no Python.
+
+    Collision note: a 64-bit hash false-positive drops a clean doc with
+    probability ~|bench_grams| * 2^-64 per doc-gram — negligible, and the
+    failure mode is over-removal (safe direction for decontamination).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    bench_grams = (
+        _ngram_hashes(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(bench_text_col),
+            ),
+            n,
+            bench_text_col,
+            "_bid",
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+    doc_grams = _ngram_hashes(docs, n, text_col, key_col)
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+    report = hits.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    clean = docs.join(F.broadcast(report.select(key_col)), key_col, "left_anti")
+    return clean, report

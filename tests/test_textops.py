@@ -38,3 +38,59 @@ def test_clean_text_masks_and_normalizes(spark):
     r = clean_text(df).collect()[0]
     assert r.clean_text == "hello <EMAIL> world <URL> end"
     assert r.n_chars_clean == len(r.clean_text)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Docs sharing a 5-gram with the benchmark are dropped and reported;
+    clean docs survive untouched; short docs (< n tokens) never match;
+    n-gram boundary semantics are exact (4-token overlap does NOT trip a
+    5-gram rule)."""
+    from stac_catalog_builder_spark.operators.textops import decontaminate
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france",), ("the quick brown fox jumps",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "trivia time what is the capital of france everyone knows"),
+            (2, "an innocent document about gardens and rivers flowing south"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "quick brown fox jumps"),  # only 4 shared tokens < n
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    clean, report = decontaminate(docs, bench, n=5)
+    kept = {r.doc_id for r in clean.collect()}
+    hits = {r.doc_id: r.n_hits for r in report.collect()}
+    assert kept == {2, 4, 5}
+    assert set(hits) == {1, 3}
+    assert hits[1] >= 2  # sliding 6-token phrase -> two 5-gram hits
+    assert hits[3] == 1
+    # clean docs keep their full schema/rows
+    assert clean.columns == docs.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        decontaminate(docs, bench, n=0)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The fact side must never shuffle: overlap is a broadcast join against
+    the benchmark gram set, the clean set a broadcast anti-join."""
+    from stac_catalog_builder_spark.operators.textops import decontaminate
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 5).select("text")
+    clean, report = decontaminate(docs, bench, n=8)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # contaminated: the benchmark docs themselves (identical text)
+    assert {r.doc_id for r in report.collect()} >= {0, 1, 2, 3, 4}
+    assert clean.count() + report.count() == docs.count()
