@@ -205,15 +205,22 @@ def minhash_candidate_pairs(
 
 
 def ngram_jaccard(
-    pairs: DataFrame, docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    pairs: DataFrame,
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact whitespace-token Jaccard for candidate pairs — verification stage
     after LSH. Pure JVM array functions; docs join is two broadcast-or-shuffle
-    hash joins on the id."""
-    toks = docs.select(
-        F.col(key_col),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
-    )
+    hash joins on the id. Callers verifying many pair batches against the
+    same corpus pass a persisted ``toks`` table ((key, toks array) — see
+    ``dedup_groups``) so tokenization runs once, not once per join side."""
+    if toks is None:
+        toks = docs.select(
+            F.col(key_col),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        )
     return (
         pairs.join(toks.withColumnRenamed(key_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
         .join(toks.withColumnRenamed(key_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")

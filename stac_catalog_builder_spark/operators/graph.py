@@ -204,6 +204,11 @@ def dedup_groups(
     pairs = _dedup.minhash_candidate_pairs(
         docs, key_col=key_col, text_col=text_col, bands=bands, max_bucket=max_bucket
     )
+    # NOTE: deliberately NOT persisting a tokenized corpus for the verify
+    # joins — measured no win at bench scale (tokenize is scan-cheap), and
+    # at 10^12 docs a corpus-sized token-array cache is memory pressure,
+    # not a saving. A lake with a materialized token column passes it via
+    # ngram_jaccard(toks=...).
     verified = (
         _dedup.ngram_jaccard(pairs, docs, key_col=key_col, text_col=text_col)
         .where(F.col("jaccard") >= jaccard_threshold)
