@@ -122,15 +122,17 @@ def _salt_hot_buckets(
     hot-bucket guard at 100 TB. Exact duplicates never reach here (collapsed
     upstream), so oversized buckets are *distinct* payloads colliding.
 
-    Observability without driver risk (ADVICE r3): the recall trade is
+    Observability without driver risk (ADVICE r3/r4): the recall trade is
     recorded in ``SALT_METRICS[tag]`` (0 oversized => candidates exact),
-    but only a SINGLE summary row (count/sum/max over the oversized subset)
-    ever reaches the driver — the oversized bucket list itself stays a
-    distributed broadcast join, so an adversarial distribution with
-    total_rows/max_bucket hot buckets cannot OOM the driver the way the r3
-    collect-all-rows version could. The all-buckets-small common case still
-    skips the salting join entirely. ``bucketed`` should be persisted by the
-    caller: the stats probe is an extra eager job over it."""
+    and only a SINGLE summary row (count/sum over the oversized subset)
+    ever reaches the driver unconditionally. The salting join itself is
+    broadcast ONLY when the same stats probe proves the oversized set is
+    dimension-sized (a broadcast hint still collects its side driver-side
+    first); an adversarial distribution with ~total_rows/max_bucket hot
+    buckets instead takes a plain shuffle join — slower, never driver-OOM.
+    The all-buckets-small common case still skips the salting join
+    entirely. ``bucketed`` should be persisted by the caller: the stats
+    probe is an extra eager job over it."""
     over = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn")).where(
         F.col("_bn") > max_bucket
     )
@@ -145,7 +147,11 @@ def _salt_hot_buckets(
     }
     if stats["n_over"] == 0:
         return bucketed.withColumn("salt", F.lit(0).cast("int"))
-    out = bucketed.join(F.broadcast(over), "bucket", "left")
+    # ~16 bytes/row of (bucket, count): 1e6 rows ≈ 16 MB broadcast — safe.
+    # Past that, let the optimizer pick (AQE will still broadcast if small
+    # by its own size estimate, and shuffle-join otherwise).
+    dim = F.broadcast(over) if stats["n_over"] <= 1_000_000 else over
+    out = bucketed.join(dim, "bucket", "left")
     salt = F.when(F.col("_bn").isNull(), F.lit(0)).otherwise(
         F.pmod(F.xxhash64(F.col(key_col)), F.ceil(F.col("_bn") / max_bucket))
     )

@@ -102,4 +102,7 @@ def pack_sequences(
         pdf["context_pos"] = pd.array(pos_of, dtype="int32")
         return pdf
 
-    return grouped.groupBy("pack_group").applyInPandas(pack, schema=schema)
+    packed = grouped.groupBy("pack_group").applyInPandas(pack, schema=schema)
+    # pack_group is an internal routing key (already encoded in context_id's
+    # "{group}_{bin}" prefix) — not part of the documented output contract
+    return packed.drop("pack_group")

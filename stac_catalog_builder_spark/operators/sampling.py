@@ -41,12 +41,17 @@ _MOD = 2**31
 
 def _bucket(key_col: Column, salt: int) -> Column:
     """Deterministic uniform bucket in [0, 2^31) from an integer (or
-    integer-castable) key. String keys fold through xxhash64 first."""
+    integer-castable) key. String keys fold through xxhash64 first.
+
+    ``salt`` is folded to the 2^31 bucket space first (identity for
+    0 <= salt < 2^31): the headroom bound is ``(k + salt) * _SCRAMBLE``
+    < 2^63, and with k < 2^31 that only holds for salts below ~3.4e9 —
+    larger salts would hit Spark's ANSI overflow error mid-query."""
     # try_cast, not cast: ANSI mode (Spark 4 default) ERRORS on a
     # non-numeric string instead of returning NULL
     k = F.coalesce(key_col.try_cast("bigint"), F.xxhash64(key_col))
     k = F.pmod(F.shiftright(k, 31).bitwiseXOR(k), F.lit(_MOD))
-    b = F.pmod((k + F.lit(int(salt))) * F.lit(_SCRAMBLE), F.lit(_MOD))
+    b = F.pmod((k + F.lit(int(salt) % _MOD)) * F.lit(_SCRAMBLE), F.lit(_MOD))
     b = F.pmod(b.bitwiseXOR(F.shiftright(b, 16)) * F.lit(_MIX), F.lit(_MOD))
     return b.bitwiseXOR(F.shiftright(b, 13))
 
@@ -67,6 +72,11 @@ def dataset_split(
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     if not weights:
         raise ValueError("weights must be non-empty")
+    bad = {n: w for n, w in weights.items() if not float(w) > 0.0}
+    if bad:
+        # a zero/negative weight would silently produce a duplicate or
+        # decreasing threshold — an empty split plus misallocated mass
+        raise ValueError(f"split weights must be > 0: {bad}")
     total = float(sum(weights.values()))
     b = _bucket(F.col(key_col), salt)
     expr = None
@@ -165,12 +175,14 @@ def weighted_mixture(
     for name, src in sources.items():
         # distinct salt per source (crc32, NOT Python's run-randomized
         # hash()): a key present in two sources is an independent draw in
-        # each, not a correlated one — and the draw is stable across runs
+        # each, not a correlated one — and the draw is stable across runs.
+        # Full 31-bit crc space (collision odds ~2^-31 per source pair);
+        # _bucket folds the sum back into its safe headroom
         part = stratified_sample(
             src,
             float(rates[name]),
             key_col=key_col,
-            salt=salt + zlib.crc32(name.encode()) % 10007,
+            salt=salt + zlib.crc32(name.encode()) % _MOD,
         ).withColumn(tag_col, F.lit(name))
         out = part if out is None else out.unionByName(part)
     if out is None:

@@ -220,8 +220,12 @@ def decontaminate(
     the train side explodes to (doc, gram_hash) map-side and the overlap is
     a broadcast semi-join — the fact table is never shuffled. The report
     (doc_id, n_hits) is an aggregate over the matched rows only; the clean
-    set is a broadcast anti-join of ``docs`` against the contaminated ids.
-    All hashing is JVM xxhash64 over joined token windows — no Python.
+    set is an anti-join of ``docs`` against the contaminated ids — NOT
+    broadcast-hinted, because unlike the bench grams the contaminated-doc
+    set is data-dependent and unbounded (a heavily contaminated corpus can
+    exceed any broadcast limit); AQE still broadcasts it when its measured
+    size is small. All hashing is JVM xxhash64 over token windows — no
+    Python.
 
     Collision note: a 64-bit hash false-positive drops a clean doc with
     probability ~|bench_grams| * 2^-64 per doc-gram — negligible, and the
@@ -245,5 +249,5 @@ def decontaminate(
     doc_grams = _ngram_hashes(docs, n, text_col, key_col)
     hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash")
     report = hits.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    clean = docs.join(F.broadcast(report.select(key_col)), key_col, "left_anti")
+    clean = docs.join(report.select(key_col), key_col, "left_anti")
     return clean, report
