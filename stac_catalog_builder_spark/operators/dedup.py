@@ -158,28 +158,25 @@ def _salt_hot_buckets(
     return out.withColumn("salt", salt.cast("int")).drop("_bn")
 
 
-def minhash_candidate_pairs(
+def minhash_candidate_parts(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 16,
     max_bucket: int = 256,
-) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b), CONNECTIVITY-PRESERVING: distinct
-    texts sharing >=1 band bucket pair directly; members of an exact-duplicate
-    group pair only with their group representative (star expansion — see
-    ``_exact_collapse``), which preserves connected components without the
-    quadratic identical-text bucket.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """LSH candidate generation, decomposed -> ``(reps, rep_pairs, star)``.
 
-    100 TB shape: (1) exact-duplicate collapse first — identical texts (the
-    classic boilerplate bucket) contribute star pairs, never quadratic bucket
-    pairs; (2) explode(band_keys) -> self equi-join on the bucket over
-    *distinct* texts only; (3) buckets still larger than ``max_bucket`` are
-    salted into sub-buckets, capping within-bucket blowup (AQE skew-join
-    splits the shuffle but NOT the O(b^2) pair output — this does). Salting
-    makes recall approximate for pairs whose ONLY shared band lands in an
-    oversized bucket; ``SALT_METRICS['minhash_pairs']`` reports exactly how
-    much salting each call did (0 oversized buckets => exact candidates).
+    ``reps`` is one row per DISTINCT text (the collapse representatives);
+    ``rep_pairs`` are LSH candidate pairs between reps (id_a < id_b,
+    distinct, self-loop-free); ``star`` links each representative to its
+    exact-duplicate group members (id_a=rep < id_b=member). Consumers that
+    verify candidates (``graph.dedup_groups``) want the parts: star pairs
+    are identical texts BY CONSTRUCTION (Jaccard exactly 1), so only
+    ``rep_pairs`` ever needs scoring — at web scale the boilerplate-dup star
+    edges are the bulk of the candidate set, and skipping their
+    verification (and their n-gram tokenize/join) is a structural win, not
+    a toy-scale shortcut.
     """
     reps, star = _exact_collapse(
         df.select(key_col, text_col), key_col, text_col, tag="minhash_pairs"
@@ -206,6 +203,35 @@ def minhash_candidate_pairs(
             F.col(f"l.{key_col}").alias("id_a"), F.col(f"r.{key_col}").alias("id_b")
         )
         .distinct()  # docs sharing several bands; star pairs are unique already
+    )
+    return reps, rep_pairs, star
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), CONNECTIVITY-PRESERVING: distinct
+    texts sharing >=1 band bucket pair directly; members of an exact-duplicate
+    group pair only with their group representative (star expansion — see
+    ``_exact_collapse``), which preserves connected components without the
+    quadratic identical-text bucket.
+
+    100 TB shape: (1) exact-duplicate collapse first — identical texts (the
+    classic boilerplate bucket) contribute star pairs, never quadratic bucket
+    pairs; (2) explode(band_keys) -> self equi-join on the bucket over
+    *distinct* texts only; (3) buckets still larger than ``max_bucket`` are
+    salted into sub-buckets, capping within-bucket blowup (AQE skew-join
+    splits the shuffle but NOT the O(b^2) pair output — this does). Salting
+    makes recall approximate for pairs whose ONLY shared band lands in an
+    oversized bucket; ``SALT_METRICS['minhash_pairs']`` reports exactly how
+    much salting each call did (0 oversized buckets => exact candidates).
+    """
+    _, rep_pairs, star = minhash_candidate_parts(
+        df, key_col=key_col, text_col=text_col, bands=bands, max_bucket=max_bucket
     )
     return rep_pairs.unionByName(star)
 

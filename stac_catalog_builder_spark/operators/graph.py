@@ -41,31 +41,35 @@ from . import dedup as _dedup
 LAST_CC_STATS: dict[str, int] = {}
 
 
-def _probe_round(edges: DataFrame) -> tuple[bool, int]:
-    """(is-fixed-point, node count) of a round's canonical edge set, ONE job.
+def _probe_round(edges: DataFrame) -> tuple[bool, int, int]:
+    """(is-fixed-point, node count, edge count) of a canonical edge set,
+    ONE job.
 
     The large-star/small-star fixed point is a min-centered star forest:
     every edge points leaf -> component-minimum center. A canonical (u<v)
     edge set is such a forest iff no node is both a center (appears as u)
-    and a leaf (appears as v), and no leaf has two centers (a repeated v).
-    Testing the ROUND OUTPUT directly saves the confirming round a
-    produced-the-same-set probe needs, and unlike a hash fingerprint it can
-    neither false-positive nor false-negative. The node count rides along
-    free (the grouping key set IS the node set, which the star rounds
-    preserve — no node ever drops until it has no edges), and the probing
+    and a leaf (appears as v), and no leaf has two centers (a repeated v)
+    — and with u<v the center is automatically the component minimum, so a
+    passing INPUT needs zero rounds. Testing each round's OUTPUT directly
+    saves the confirming round a produced-the-same-set probe needs, and
+    unlike a hash fingerprint it can neither false-positive nor
+    false-negative. Node count (the grouping key set IS the node set, which
+    the star rounds preserve — no node drops until it has no edges) and
+    edge count (half the union's row count) ride along free; the probing
     job doubles as the materializer of the round's lazy localCheckpoint."""
     r = (
         edges.select(F.col("u").alias("x"), F.lit(1).alias("c"), F.lit(0).alias("l"))
         .unionAll(edges.select(F.col("v"), F.lit(0), F.lit(1)))
         .groupBy("x")
-        .agg((F.max("c") + F.sum("l")).alias("deg"))
+        .agg((F.max("c") + F.sum("l")).alias("deg"), F.count(F.lit(1)).alias("app"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.count(F.when(F.col("deg") > 1, 1)).alias("viol"),
+            F.coalesce(F.sum("app"), F.lit(0)).alias("app2"),
         )
         .first()
     )
-    return int(r["viol"]) == 0, int(r["n_nodes"])
+    return int(r["viol"]) == 0, int(r["n_nodes"]), int(r["app2"]) // 2
 
 
 def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
@@ -93,14 +97,19 @@ def connected_components(
     component (callers left-join and coalesce to the node id).
 
     Each iteration alternates large-star and small-star, each ONE
-    aggregate-shuffle over the current edge set; convergence = the round's
+    window-shuffle over the current edge set (per-x minima via a window
+    over the SAME key a groupBy would shuffle on — one exchange instead of
+    an aggregate exchange plus a join-back); convergence = the round's
     output IS the fixed point (a min-centered star forest), tested exactly
-    with one scalar probe per round (``_is_star_forest``) — stopping one
-    round earlier than a produced-the-same-set probe, which must run a
-    confirming round. Exhausting ``max_iter`` without reaching the fixed
-    point emits a warning and sets ``LAST_CC_STATS['converged'] = False``
-    (ADVICE r3: labels may be wrong in that case, and the signal must be
-    observable).
+    with one scalar probe per round — stopping one round earlier than a
+    produced-the-same-set probe, which must run a confirming round. The
+    INPUT is probed the same way (the job that materializes the input
+    checkpoint, subsuming the old count job), so an already-star-forest
+    input — e.g. a corpus whose only duplicates are exact-dup stars —
+    finishes with ZERO rounds. Exhausting ``max_iter`` without reaching the
+    fixed point emits a warning and sets ``LAST_CC_STATS['converged'] =
+    False`` (ADVICE r3: labels may be wrong in that case, and the signal
+    must be observable).
     """
     # localCheckpoint per round: each round's plan references the previous
     # round TWICE (the symmetric union), so without lineage truncation the
@@ -118,41 +127,48 @@ def connected_components(
         if assume_canonical
         else _canonical_edges(pairs, a, b)
     )
-    edges = canonical.localCheckpoint(eager=False)
-    n_in = edges.count()  # materializes the input checkpoint
+    from pyspark.sql import Window
 
-    rounds = 0
-    nodes = 0
-    converged = n_in == 0
-    while not converged and rounds < max_iter:
-        rounds += 1
+    edges = canonical.localCheckpoint(eager=False)
+    # the input probe materializes the checkpoint, counts nodes/edges, AND
+    # tests whether the input is already the fixed point — one job where the
+    # old structure spent a count job plus a guaranteed first round
+    converged, nodes, n_in = _probe_round(edges)
+
+    def star_round(e: DataFrame) -> DataFrame:
         # large-star: symmetric neighborhoods; each neighbor y > x links to
-        # m* = min(N(x) ∪ {x}) — keeps big stars from growing
-        sym = edges.selectExpr("u AS x", "v AS y").unionAll(
-            edges.selectExpr("v AS x", "u AS y")
+        # m* = min(N(x) ∪ {x}) — keeps big stars from growing. Per-x min via
+        # a window (one exchange); NO distinct here — duplicate edges cannot
+        # change small-star's per-x minima and the round's single distinct
+        # on the small output cleans them, saving an exchange per round
+        sym = e.selectExpr("u AS x", "v AS y").unionAll(
+            e.selectExpr("v AS x", "u AS y")
         )
-        mins = sym.groupBy("x").agg(F.min("y").alias("m"))
+        ann = sym.withColumn("m", F.min("y").over(Window.partitionBy("x")))
+        mstar = F.least(F.col("x"), F.col("m"))
         large = (
-            sym.join(mins, "x")
-            .where(F.col("y") > F.col("x"))
+            ann.where(F.col("y") > F.col("x"))
             .select(
-                F.least(F.col("y"), F.least("x", "m")).alias("u"),
-                F.greatest(F.col("y"), F.least("x", "m")).alias("v"),
+                F.least(F.col("y"), mstar).alias("u"),
+                F.greatest(F.col("y"), mstar).alias("v"),
             )
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: each neighbor y <= x links to m = min(N(x)), AND x
         # itself links to m — dropping the (x, m) link would disconnect
-        # nodes whose neighbors are all smaller
+        # nodes whose neighbors are all smaller. The (x, m) rows come from
+        # the y == m rows of the SAME window pass (the min is always
+        # attained; repeats collapse in the final distinct)
         sym2 = large.selectExpr("u AS x", "v AS y").unionAll(
             large.selectExpr("v AS x", "u AS y")
         )
-        mins2 = sym2.groupBy("x").agg(F.min("y").alias("m"))
-        links = sym2.join(mins2, "x").where(F.col("y") <= F.col("x")).select(
-            "y", "m"
-        ).unionAll(mins2.select(F.col("x").alias("y"), F.col("m")))
-        small = (
+        ann2 = sym2.withColumn("m", F.min("y").over(Window.partitionBy("x")))
+        links = ann2.where(F.col("y") <= F.col("x")).select("y", "m").unionAll(
+            ann2.where(F.col("y") == F.col("m")).select(
+                F.col("x").alias("y"), F.col("m")
+            )
+        )
+        return (
             links.select(
                 F.least(F.col("y"), F.col("m")).alias("u"),
                 F.greatest(F.col("y"), F.col("m")).alias("v"),
@@ -160,8 +176,16 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_edges = small.localCheckpoint(eager=False)
-        converged, nodes = _probe_round(new_edges)
+
+    # ONE round per checkpoint + probe query. Chaining two rounds per query
+    # was measured WORSE (6.7s vs 5.4s interleaved at sf0.1): under AQE the
+    # duplicated round subtrees do not collapse into reused exchanges, so
+    # the chained plan re-executes them as extra adaptive jobs.
+    rounds = 0
+    while not converged and rounds < max_iter:
+        rounds += 1
+        new_edges = star_round(edges).localCheckpoint(eager=False)
+        converged, nodes, _ = _probe_round(new_edges)
         edges = new_edges
 
     if not converged:
@@ -200,24 +224,41 @@ def dedup_groups(
     from exact to near duplicates). Docs with no verified near-duplicate
     keep their own id. This is the full web-scale dedup pipeline shape:
     candidates (bounded by star-collapse + salting), per-pair verification
-    (pure JVM array ops), and an O(log n)-round component contraction."""
-    pairs = _dedup.minhash_candidate_pairs(
+    (pure JVM array ops), and an O(log n)-round component contraction.
+
+    Exact-duplicate STAR edges never enter the verify or CC stages: their
+    Jaccard is exactly 1 by construction (identical text), and each star is
+    contracted to its representative — CC runs on the verified REP graph
+    only, and member labels propagate through one join afterwards. Sound
+    because the rep is the min id of its exact-dup group, so the min over a
+    merged component's reps IS the min over all its members. At web scale
+    the boilerplate star edges dominate the candidate set, so this shrinks
+    every CC round's input, not just the verify join."""
+    reps, rep_pairs, star = _dedup.minhash_candidate_parts(
         docs, key_col=key_col, text_col=text_col, bands=bands, max_bucket=max_bucket
     )
-    # NOTE: deliberately NOT persisting a tokenized corpus for the verify
-    # joins — measured no win at bench scale (tokenize is scan-cheap), and
-    # at 10^12 docs a corpus-sized token-array cache is memory pressure,
-    # not a saving. A lake with a materialized token column passes it via
-    # ngram_jaccard(toks=...).
+    # NOTE: deliberately NOT persisting a tokenized rep table for the verify
+    # joins — the reps lineage is already cache-backed (the collapse members
+    # table), so tokenize is a map-side expression over a cached scan per
+    # join side; at 10^12 docs a corpus-sized token-array cache is memory
+    # pressure, not a saving. A lake with a materialized token column
+    # passes it via ngram_jaccard(toks=...).
     verified = (
-        _dedup.ngram_jaccard(pairs, docs, key_col=key_col, text_col=text_col)
+        _dedup.ngram_jaccard(rep_pairs, reps, key_col=key_col, text_col=text_col)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )
-    comp = connected_components(verified, assume_canonical=True)
+    comp_reps = connected_components(verified, assume_canonical=True)
+    member_labels = star.join(
+        comp_reps.withColumnRenamed("node", "id_a"), "id_a", "left"
+    ).select(
+        F.col("id_b").alias("node"),
+        F.coalesce("component", F.col("id_a")).alias("component"),
+    )
+    labels = comp_reps.unionByName(member_labels)
     out = (
         docs.select(key_col)
-        .join(comp.withColumnRenamed("node", key_col), key_col, "left")
+        .join(labels.withColumnRenamed("node", key_col), key_col, "left")
         .select(
             F.col(key_col),
             F.coalesce("component", F.col(key_col)).alias("group_id"),
