@@ -1,0 +1,122 @@
+"""DuckDB exact-parity tests for rows-only driver entries (VERDICT r4 #2).
+
+The driver's exact-compare window is capped at 50 queries, so the newest
+entries are rows-only there. The SQL-replayable ones get the same
+rows+schema+value-exact comparison HERE, at sf0.001, following the
+`test_sampling.py` replay pattern and the reference's golden-output
+discipline (/root/reference/tests/test_commandapi.py:20-57):
+
+- ``decontaminate``  — the 13-gram overlap rule replayed as exact n-gram
+  STRING overlap (hash-free: equality of the outputs also certifies the
+  xxhash64 window had no collisions on this corpus);
+- ``phash_neardup``  — the pigeonhole Hamming-ball join vs a brute-force
+  bit_count self-join;
+- ``incremental_extents`` — the three-batch algebraic merge vs one flat
+  aggregation over all assigned rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as e
+from stac_catalog_builder_spark import oracles
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "nation", "documents"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(p: pd.DataFrame) -> pd.DataFrame:
+    p = p[sorted(p.columns)].copy()
+    for c in p.columns:
+        if p[c].dtype == object:
+            p[c] = p[c].astype(str)
+    return p.sort_values(by=list(p.columns), ignore_index=True)
+
+
+def _assert_parity(spark_df, con, sql: str) -> None:
+    got = _norm(spark_df.toPandas())
+    want = _norm(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_decontaminate_exact_vs_duckdb(spark, con):
+    # mirrors q_decontaminate: bench = doc_id < 10, n = 13; the summary row
+    # (-1, clean count) rides along so the whole entry output is covered
+    sql = """
+WITH dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+  FROM dt, UNNEST(range(1, len(t) - 11)) AS u(i)
+  WHERE doc_id < 10
+),
+dg AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+  FROM dt, UNNEST(range(1, len(t) - 11)) AS u(i)
+),
+report AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM dg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_hits FROM report
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM documents)
+            - (SELECT COUNT(*) FROM report) AS BIGINT)
+"""
+    out = e.q_decontaminate(spark, SF)
+    _assert_parity(out, con, sql)
+    # the overlap is non-trivial on this corpus (bench docs self-hit)
+    assert out.where("doc_id >= 0").count() >= 10
+
+
+def test_phash_neardup_exact_vs_duckdb(spark, con):
+    # mirrors q_phash_neardup: planted 2-bit twins (xor 0b10001 = 17),
+    # max_hamming=6; oracle is the full brute-force bit_count self-join
+    sql = f"""
+WITH {oracles.IMAGES_CTE.strip()},
+base AS (
+  SELECT image_id, phash FROM images
+  UNION ALL
+  SELECT 're_' || image_id, xor(phash, 17) FROM images
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM base a, base b
+WHERE a.image_id < b.image_id
+  AND bit_count(xor(a.phash, b.phash)) <= 6
+"""
+    out = e.q_phash_neardup(spark, SF)
+    _assert_parity(out, con, sql)
+    # every planted twin found
+    n_images = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert out.where("hamming = 2").count() >= n_images
+
+
+def test_incremental_extents_exact_vs_duckdb(spark, con):
+    # mirrors q_incremental_extents: three modular batches folded via the
+    # algebraic merge == one flat GROUP BY over all assigned rows
+    sql = f"""
+WITH {oracles.IMAGES_CTE.strip()}, {oracles.FOOTPRINTS_CTE.strip()},
+{oracles.BOUNDARIES_CTE.strip()}, {oracles.ASSIGNED_CTE.strip()}
+SELECT collection_id, tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(FLOOR(MIN(fp_w) * 1000000.0 + 0.5) AS BIGINT) AS ext_w_e6,
+       CAST(FLOOR(MAX(fp_n) * 1000000.0 + 0.5) AS BIGINT) AS ext_n_e6,
+       CAST(epoch(MIN(datetime)) AS BIGINT) AS dt_min_s,
+       CAST(epoch(MAX(datetime)) AS BIGINT) AS dt_max_s
+FROM assigned
+GROUP BY collection_id, tile_id
+"""
+    _assert_parity(e.q_incremental_extents(spark, SF), con, sql)
