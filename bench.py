@@ -108,6 +108,42 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     qs = e.queries()
     for name in bench_queries:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    # sink path (VERDICT r4 #4): the reference's actual bottleneck is its
+    # item-save pool (async_utils.py:35-56). write_items = the partitioned
+    # JSON item sink (S7); resume = an exactly-once checkpointed stage write
+    # plus the anti-join resume probe proving a re-run has nothing pending.
+    # Fresh dirs per pass (in /dev/shm, like the staged inputs) so every
+    # pass measures a cold sink, cleanup outside the timed window.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.sources.catalog import write_items_partitioned
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+
+    items = synth.images(spark, sf_dir).select(
+        "image_id", "item_id", "asset_type", "datetime", "w", "h", "fmt"
+    )
+    tmp = tempfile.mkdtemp(prefix="scb_bench_sink_", dir="/dev/shm")
+    try:
+        timed(
+            "write_items",
+            lambda: write_items_partitioned(items, f"{tmp}/items", fmt="json"),
+        )
+
+        def resume():
+            mgr = SnapshotStore(f"{tmp}/ckpt")
+            keyed = items.withColumn("ym", F.date_format("datetime", "yyyy-MM"))
+            mgr.write_stage(keyed, "items", "ym")
+            n_pending = mgr.pending(keyed, spark, "items", "ym").count()
+            assert n_pending == 0, n_pending
+
+        timed("resume", resume)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return timings, extras
 
 

@@ -328,7 +328,8 @@ def knn_join_cellring(
         and stats.get(qid, (0, float("inf")))[0] >= k
         and stats[qid][1] <= bound_m[i]
     ]
-    pending = [q for q in queries_pdf["query_id"] if q not in set(satisfied)]
+    sat_set = set(satisfied)
+    pending = [q for q in queries_pdf["query_id"] if q not in sat_set]
     LAST_CELLRING_STATS.update(
         n_queries=len(queries_pdf),
         satisfied=len(satisfied),
@@ -336,8 +337,25 @@ def knn_join_cellring(
         edge_unsafe=int(edge_unsafe.sum()),
     )
 
-    done = ranked.where(F.col("query_id").isin(satisfied)) if satisfied else None
+    # routing via broadcast SEMI-joined id frames, not isin(): a literal IN
+    # list inlines every id into the plan (10^5 queries -> a 10^5-term
+    # predicate Catalyst must carry through every rule), while a broadcast
+    # id frame stays one dimension-sized exchange regardless of Q
+    def _id_frame(ids: list) -> DataFrame:
+        return spark.createDataFrame(
+            pd.DataFrame({"query_id": ids}), "query_id string"
+        )
+
+    done = (
+        ranked.join(F.broadcast(_id_frame(satisfied)), "query_id", "semi")
+        if satisfied
+        else None
+    )
     if pending:
-        fallback = knn_join(images, queries.where(F.col("query_id").isin(pending)), k)
+        fallback = knn_join(
+            images,
+            queries.join(F.broadcast(_id_frame(pending)), "query_id", "semi"),
+            k,
+        )
         return done.unionByName(fallback) if done is not None else fallback
     return done

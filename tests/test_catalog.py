@@ -71,7 +71,9 @@ def test_upsert_items_bulk(spark, items):
     catalog.upsert_items_bulk(items.select("item_id"), catalog.FileSpoolTransport(_SPOOL), bulk_size=20)
     sent = set()
     for f in Path(_SPOOL).glob("*.json"):
-        sent.update(json.loads(f.read_text()))
+        req = json.loads(f.read_text())
+        sent.update(req["keys"])
+        assert req["headers"] == {}  # no auth configured -> bare request
     expected = {r.item_id for r in items.select("item_id").collect()}
     assert sent == expected
 
@@ -86,7 +88,7 @@ def test_upsert_retries_then_succeeds(spark, items):
     catalog.upsert_items_bulk(one_part, catalog.FileSpoolTransport(_SPOOL, fail_first=2, fail_marker=_FAIL_COUNT), bulk_size=50, max_retries=5)
     sent = set()
     for f in Path(_SPOOL).glob("*.json"):
-        sent.update(json.loads(f.read_text()))
+        sent.update(json.loads(f.read_text())["keys"])
     assert len(sent) == 30  # delivered despite 2 synthetic failures
 
 
@@ -106,6 +108,49 @@ def test_upsert_raises_after_max_retries(spark, items):
 
 def _always_fail(payload: dict) -> None:
     raise ConnectionError("down")
+
+
+_fake_token_fetch = catalog.offline_token_fetcher
+
+
+def test_upsert_auth_header_reaches_transport(spark, items):
+    """VERDICT r4 #7: an enabled AuthSettings resolves to a headers provider
+    and the Bearer header reaches every spooled request."""
+    import shutil
+
+    shutil.rmtree(_SPOOL, ignore_errors=True)
+    auth = catalog.build_auth_provider(
+        catalog.AuthSettings(
+            enabled=True,
+            token_url="https://auth.example/token",
+            client_id="scb",
+            username="u1",
+            password="pw",
+        ),
+        token_fetcher=_fake_token_fetch,
+    )
+    catalog.upsert_items_bulk(
+        items.select("item_id").limit(40),
+        catalog.FileSpoolTransport(_SPOOL),
+        bulk_size=10,
+        auth=auth,
+    )
+    reqs = [json.loads(f.read_text()) for f in Path(_SPOOL).glob("*.json")]
+    assert reqs
+    for req in reqs:
+        assert req["headers"] == {"Authorization": "Bearer tok-scb-u1"}
+
+
+def test_auth_provider_disabled_and_misconfigured():
+    assert catalog.build_auth_provider(None, _fake_token_fetch) is None
+    assert (
+        catalog.build_auth_provider(catalog.AuthSettings(), _fake_token_fetch)
+        is None
+    )
+    with pytest.raises(ValueError, match="not properly configured"):
+        catalog.build_auth_provider(
+            catalog.AuthSettings(enabled=True, username="u"), _fake_token_fetch
+        )
 
 
 def test_failed_inputs_anti_join(spark):
