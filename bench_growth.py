@@ -240,6 +240,131 @@ def bench_cc(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
     return out
 
 
+def bench_phash(spark, reps: tuple[int, ...] = (2, 8)) -> list[dict]:
+    """phash_neardup growth (VERDICT r4 #3): replicas extend the key range,
+    so every replica draws FRESH pseudo-random 52-bit phashes — planted
+    2-bit twins grow exactly linearly while chance <=6-bit collisions among
+    random hashes are vanishingly rare; superlinear pair or wall growth
+    would be the pigeonhole block join's doing."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark import cache, synth
+    from stac_catalog_builder_spark.operators import dedup
+
+    out = []
+    for rep in reps:
+        path = f"/dev/shm/scb_ph_r{rep}_{Path(SF_DIR).name}"
+        if not (Path(path) / "_SUCCESS").exists():
+            imgs = synth.images(spark, SF_DIR, replicate=rep).select(
+                "image_id", "phash"
+            )
+            twins = imgs.select(
+                F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
+                F.col("phash").bitwiseXOR(F.lit(0b10001)).alias("phash"),
+            )
+            imgs.unionByName(twins).repartition(128).write.mode(
+                "overwrite"
+            ).parquet(path)
+        corpus = spark.read.parquet(path)
+        n = corpus.count()
+        res: dict = {}
+
+        def run():
+            res["pairs"] = dedup.phash_neardup_pairs(corpus, max_hamming=6).count()
+            cache.release()
+
+        t = _timed(run, warmup=1, runs=2)
+        out.append(
+            {"n_images": n, "wall_sec": round(t, 2), "n_pairs": res["pairs"]}
+        )
+        print(out[-1], file=sys.stderr)
+    return out
+
+
+def bench_decontaminate(spark, reps: tuple[int, ...] = LSH_REPS) -> list[dict]:
+    """decontaminate growth (VERDICT r4 #3): the bench set is 10 BASE docs;
+    the Caesar corpora only match them inside replica 0, so the contaminated
+    count stays CONSTANT as the train side grows — train-side wall should be
+    ~linear (broadcast semi/anti joins, no train shuffle) and the bench-side
+    work constant by construction."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators import textops
+
+    bench = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 10)
+        .select("text")
+    )
+    out = []
+    for rep in reps:
+        corpus = stage_cipher_corpus(spark, rep)
+        n = corpus.count()
+        res: dict = {}
+
+        def run():
+            clean, report = textops.decontaminate(corpus, bench, n=13)
+            res["hits"] = report.count()
+            res["clean"] = clean.count()
+
+        t = _timed(run, warmup=1, runs=2)
+        out.append(
+            {
+                "n_docs": n,
+                "wall_sec": round(t, 2),
+                "contaminated": res["hits"],
+                "clean": res["clean"],
+            }
+        )
+        print(out[-1], file=sys.stderr)
+    return out
+
+
+def bench_pack(spark, sizes: tuple[int, ...] = (1_000_000, 4_000_000)) -> list[dict]:
+    """sequence_pack growth (VERDICT r4 #3): group count scales with the
+    data (fixed chunks-per-group via explicit n_groups — the lake-statistics
+    path, no count job), so utilization must stay stable and the wall
+    ~linear as groups multiply."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.packing import pack_sequences
+
+    out = []
+    for n in sizes:
+        chunks = spark.range(n, numPartitions=128).select(
+            F.concat(F.lit("c_"), F.col("id")).alias("chunk_id"),
+            (32 + F.pmod(F.col("id") * 2654435761, F.lit(200)))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        res: dict = {}
+
+        def run():
+            packed = pack_sequences(
+                chunks, budget=256, n_groups=max(1, n // 4096)
+            )
+            agg = (
+                packed.groupBy("context_id")
+                .agg(F.sum("n_tokens").alias("t"))
+                .agg(F.count(F.lit(1)).alias("n_ctx"), F.sum("t").alias("tok"))
+                .first()
+            )
+            res["n_ctx"] = int(agg["n_ctx"])
+            res["util"] = float(agg["tok"]) / (res["n_ctx"] * 256)
+
+        t = _timed(run, warmup=1, runs=2)
+        out.append(
+            {
+                "n_chunks": n,
+                "wall_sec": round(t, 2),
+                "n_contexts": res["n_ctx"],
+                "utilization": round(res["util"], 4),
+            }
+        )
+        print(out[-1], file=sys.stderr)
+    return out
+
+
 def bench_ann_lsh(spark) -> list[dict]:
     from pyspark.sql import functions as F
 
@@ -277,6 +402,9 @@ def main() -> None:
     mh_rows = bench_minhash(spark)
     cc_rows = bench_cc(spark)
     lsh_rows = bench_ann_lsh(spark)
+    ph_rows = bench_phash(spark)
+    dc_rows = bench_decontaminate(spark)
+    pk_rows = bench_pack(spark)
     spark.stop()
 
     a, b = knn_rows[0], knn_rows[-1]
@@ -291,6 +419,16 @@ def main() -> None:
     size_ratio_cc = cc_b["n_docs"] / cc_a["n_docs"]
     wall_growth_cc = cc_b["wall_sec"] / cc_a["wall_sec"]
     edge_growth_cc = cc_b["cc"].get("edges_in", 0) / max(cc_a["cc"].get("edges_in", 1), 1)
+    ph_a, ph_b = ph_rows[0], ph_rows[-1]
+    size_ratio_ph = ph_b["n_images"] / ph_a["n_images"]
+    wall_growth_ph = ph_b["wall_sec"] / ph_a["wall_sec"]
+    pair_growth_ph = ph_b["n_pairs"] / max(ph_a["n_pairs"], 1)
+    dc_a, dc_b = dc_rows[0], dc_rows[-1]
+    size_ratio_dc = dc_b["n_docs"] / dc_a["n_docs"]
+    wall_growth_dc = dc_b["wall_sec"] / dc_a["wall_sec"]
+    pk_a, pk_b = pk_rows[0], pk_rows[-1]
+    size_ratio_pk = pk_b["n_chunks"] / pk_a["n_chunks"]
+    wall_growth_pk = pk_b["wall_sec"] / pk_a["wall_sec"]
 
     knn_table = "\n".join(
         f"| {r['replicate']}x | {r['n_images']:,} | {r['cell_res']} | "
@@ -311,6 +449,18 @@ def main() -> None:
         f"{r['cc'].get('nodes', 0):,} | {r['cc'].get('rounds', '?')} | "
         f"{r['cc'].get('converged', '?')} |"
         for r in cc_rows
+    )
+    ph_table = "\n".join(
+        f"| {r['n_images']:,} | {r['wall_sec']} | {r['n_pairs']:,} |"
+        for r in ph_rows
+    )
+    dc_table = "\n".join(
+        f"| {r['n_docs']:,} | {r['wall_sec']} | {r['contaminated']:,} | {r['clean']:,} |"
+        for r in dc_rows
+    )
+    pk_table = "\n".join(
+        f"| {r['n_chunks']:,} | {r['wall_sec']} | {r['n_contexts']:,} | {r['utilization']} |"
+        for r in pk_rows
     )
 
     report = f"""# BENCH/GROWTH — asymptotics evidence at two input sizes
@@ -389,6 +539,50 @@ size x{size_ratio_lsh:.0f} -> wall x{wall_growth_lsh:.2f}: ~linear — the
 bucket equi-join shuffles only bucket-key rows; candidates per query grow
 with corpus density, never with the pair product.
 
+## 5. phash_neardup growth (VERDICT r4 #3)
+
+Key-range replicas draw fresh pseudo-random 52-bit phashes, each with one
+planted 2-bit twin — planted pairs grow exactly linearly; chance <=6-bit
+collisions among random hashes are ~zero, so ANY superlinear pair growth
+would be the pigeonhole block join's.
+
+| rows (images+twins) | wall (s) | pairs |
+|---|---|---|
+{ph_table}
+
+size x{size_ratio_ph:.0f} -> wall x{wall_growth_ph:.2f}, pairs
+x{pair_growth_ph:.2f}: candidate generation is linear — the Hamming-ball
+join blocks on exact 16-bit sketch blocks, never the pair product.
+
+## 6. decontaminate growth (VERDICT r4 #3)
+
+Bench set = 10 base docs; the Caesar train corpora only match them inside
+replica 0, so contamination is CONSTANT by construction while the train
+side grows.
+
+| train docs | wall (s) | contaminated | clean |
+|---|---|---|---|
+{dc_table}
+
+train x{size_ratio_dc:.0f} -> wall x{wall_growth_dc:.2f} with contaminated
+count constant ({dc_a["contaminated"]} -> {dc_b["contaminated"]}): the
+train side is one map-side gram explode + broadcast semi/anti join — wall
+tracks train size linearly, bench-side cost never moves.
+
+## 7. sequence_pack growth (VERDICT r4 #3)
+
+n_groups passed from statistics (n/4096 — the no-count-job path); group
+count scales with data.
+
+| chunks | wall (s) | contexts | utilization |
+|---|---|---|---|
+{pk_table}
+
+size x{size_ratio_pk:.0f} -> wall x{wall_growth_pk:.2f}, utilization stable
+({pk_a["utilization"]} -> {pk_b["utilization"]}): per-group FFD quality is
+a local property (thousands of chunks per group at every size), so packing
+efficiency is scale-invariant while the single hash-shuffle grows linearly.
+
 ## Scope note: why growth (not N-vs-4N) for the LSH class
 
 The N-vs-4N parallel-scaling criterion is evidenced on THE metric job
@@ -412,10 +606,16 @@ SIZE-growth asymptotics above.
                 "minhash": mh_rows,
                 "dedup_groups": cc_rows,
                 "ann_lsh": lsh_rows,
+                "phash": ph_rows,
+                "decontaminate": dc_rows,
+                "sequence_pack": pk_rows,
                 "knn_speedup_small_to_big": [r["speedup"] for r in knn_rows],
                 "minhash_wall_growth": round(wall_growth_mh, 2),
                 "dedup_groups_wall_growth": round(wall_growth_cc, 2),
                 "ann_lsh_wall_growth": round(wall_growth_lsh, 2),
+                "phash_wall_growth": round(wall_growth_ph, 2),
+                "decontaminate_wall_growth": round(wall_growth_dc, 2),
+                "sequence_pack_wall_growth": round(wall_growth_pk, 2),
                 "report": str(out_path),
             }
         )
