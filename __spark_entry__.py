@@ -278,8 +278,10 @@ def q_salted_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: H3-like hex cells (hierarchy/ring properties are
-    pytest-verified; no SQL expression exists)."""
+    """Rows-only in the driver window; VALUE-EXACT in pytest: the encoder is
+    replayed bit-for-bit in DuckDB (oracles.sql_hex_cells,
+    tests/test_parity_rowsonly.py) on top of the hierarchy/ring property
+    tests."""
     from stac_catalog_builder_spark.functions.cells import hex_cell_udf
 
     df = _images_fp(spark, sf_dir)
@@ -291,7 +293,10 @@ def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: S2-style cell ids (prefix-parent property pytest-verified)."""
+    """Rows-only in the driver window; VALUE-EXACT in pytest: face cube +
+    quadratic ST + unrolled Hilbert walk replayed in DuckDB
+    (oracles.sql_s2_cells, tests/test_parity_rowsonly.py) on top of the
+    prefix-parent property tests."""
     from stac_catalog_builder_spark.functions.cells import s2_cell_udf
 
     df = _images_fp(spark, sf_dir)
@@ -1101,7 +1106,12 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit(0b10001)).alias("phash"),
     )
-    pairs = dedup.phash_neardup_pairs(imgs.unionByName(twins), max_hamming=6)
+    # sketch_bits=52: the lake's phash populates bits [0, 52) (lake
+    # statistics a production caller would know); blocks over the real
+    # span keep every paired-block bucket entropy-rich
+    pairs = dedup.phash_neardup_pairs(
+        imgs.unionByName(twins), max_hamming=6, sketch_bits=52
+    )
     return pairs.select("id_a", "id_b", "hamming")
 
 

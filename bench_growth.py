@@ -270,7 +270,11 @@ def bench_phash(spark, reps: tuple[int, ...] = (2, 8)) -> list[dict]:
         res: dict = {}
 
         def run():
-            res["pairs"] = dedup.phash_neardup_pairs(corpus, max_hamming=6).count()
+            # sketch_bits=52: the synthetic phash populates 52 bits; blocks
+            # over the real span keep every combo bucket entropy-rich
+            res["pairs"] = dedup.phash_neardup_pairs(
+                corpus, max_hamming=6, sketch_bits=52
+            ).count()
             cache.release()
 
         t = _timed(run, warmup=1, runs=2)

@@ -324,24 +324,42 @@ def hamming_candidate_pairs(
     max_bucket: int = 256,
     tag: str = "hamming_pairs",
     collapse_identical: bool = True,
+    combo_blocks: int | None = None,
+    sketch_bits: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs for ANY 64-bit sketch column at Hamming
     distance <= ``max_hamming`` (CONNECTIVITY-PRESERVING, see
     ``_exact_collapse``) — the engine's generic Hamming-ball self-join,
     shared by text simhash and image perceptual hashes.
 
-    Pigeonhole: the sketch splits into ``max_hamming + 1`` bit blocks, so
-    two sketches within the ball agree exactly on >= 1 block -> equi-join
-    per (block, value) bucket, verify with JVM ``bit_count``. Same 100 TB
-    guards as the text LSH family: byte-identical sketches collapse to star
-    pairs (hamming 0) before the block join bounds the classic
-    identical-payload bucket, and residual oversized buckets are salted —
-    ``SALT_METRICS[tag]`` records the (observable) recall trade.
+    Generalized pigeonhole (Manku et al., "Detecting Near-Duplicates for
+    Web Crawling", WWW'07): the sketch splits into ``max_hamming + t``
+    blocks and buckets on every combination of ``t`` blocks' values — two
+    sketches within the ball have errors in <= max_hamming blocks, so at
+    least one t-combination agrees exactly. ``t = combo_blocks`` defaults
+    to 1 for small balls (h <= 3: 4+ blocks of 16 bits are entropy-rich)
+    and 2 for h >= 4, where single blocks shrink to <= 9 bits (= <= 512
+    bucket values) and EVERY bucket goes hot at ~10^5 rows — round-5 growth
+    measurement caught exactly that: key-random salting then silently cost
+    ~35% of planted recall. Pairing blocks multiplies bucket entropy
+    (C(h+2, 2) keys of ~2x the bits) so salting — the only recall trade in
+    this operator — stays a pathological-input backstop instead of the
+    common case. Same 100 TB guards as the text LSH family: byte-identical
+    sketches collapse to star pairs (hamming 0) before the block join, and
+    residual oversized buckets are salted — ``SALT_METRICS[tag]`` records
+    the (observable) recall trade.
 
     ``collapse_identical=False`` skips the sketch-level star collapse for
     callers that already collapsed upstream on the raw payload (simhash
     collapses on the TEXT so its sketch UDF runs once per distinct text);
     such callers union their own star pairs.
+
+    ``sketch_bits``: the populated bit width. Blocks span [0, sketch_bits)
+    — bits above MUST be zero on every row (caller contract). A narrower
+    sketch in the default 64-bit layout leaves its top blocks constant-zero:
+    one giant bucket per zero block, pure salting waste. Distances are
+    still verified over all 64 bits, so a violated contract can only lose
+    recall, never emit a wrong pair.
     """
     if not 1 <= max_hamming <= 15:
         # 0 would mean exact sketch equality — that is dedup_exact /
@@ -351,7 +369,11 @@ def hamming_candidate_pairs(
             f"max_hamming must be in [1, 15] (0 == exact match: use "
             f"dedup_exact): {max_hamming}"
         )
-    n_blocks = max_hamming + 1
+    if combo_blocks is None:
+        combo_blocks = 1 if max_hamming <= 3 else 2
+    if combo_blocks not in (1, 2):
+        raise ValueError(f"combo_blocks must be 1 or 2: {combo_blocks}")
+    n_blocks = max_hamming + combo_blocks
     if collapse_identical:
         reps, star = _exact_collapse(
             df.select(key_col, sketch_col),
@@ -362,33 +384,51 @@ def hamming_candidate_pairs(
         )
     else:
         reps, star = df.select(key_col, sketch_col), None
-    # block i covers bits [i*64//n, (i+1)*64//n) — widths differ by at most
-    # one bit when 64 % n_blocks != 0; shiftright sign-extends but the mask
-    # truncates to the block width, so negative sketches are handled
-    bounds = [(i * 64 // n_blocks, (i + 1) * 64 // n_blocks) for i in range(n_blocks)]
+    if not n_blocks <= sketch_bits <= 64:
+        raise ValueError(f"sketch_bits must be in [{n_blocks}, 64]: {sketch_bits}")
+    # block i covers bits [i*W//n, (i+1)*W//n), W = sketch_bits — widths
+    # differ by at most one bit when W % n_blocks != 0; shiftright
+    # sign-extends but the mask truncates to the block width, so negative
+    # sketches are handled
+    bounds = [
+        (i * sketch_bits // n_blocks, (i + 1) * sketch_bits // n_blocks)
+        for i in range(n_blocks)
+    ]
+
+    def block_val(lo: int, hi: int):
+        return F.shiftright(sketch_col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+    if combo_blocks == 1:
+        keys = [
+            F.struct(F.lit(i).alias("blk"), block_val(lo, hi).alias("val"))
+            for i, (lo, hi) in enumerate(bounds)
+        ]
+        bucket = F.col("b.blk").cast("bigint") * F.lit(2**33) + F.col("b.val")
+    else:
+        # every 2-combination of blocks: combo id in the high bits, the two
+        # block values concatenated below (combined width <= 2*ceil(64/n)
+        # <= 44 bits for n >= 3, so the packed id fits int64)
+        from itertools import combinations
+
+        keys = []
+        for cid, (i, j) in enumerate(combinations(range(n_blocks), 2)):
+            lo_i, hi_i = bounds[i]
+            lo_j, hi_j = bounds[j]
+            keys.append(
+                F.struct(
+                    F.lit(cid).alias("blk"),
+                    (
+                        block_val(lo_i, hi_i) * F.lit(1 << (hi_j - lo_j))
+                        + block_val(lo_j, hi_j)
+                    ).alias("val"),
+                )
+            )
+        bucket = F.col("b.blk").cast("bigint") * F.lit(2**44) + F.col("b.val")
     blocks = reps.select(
         key_col,
         sketch_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(sketch_col, lo)
-                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-                        .alias("val"),
-                    )
-                    for i, (lo, hi) in enumerate(bounds)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        key_col,
-        sketch_col,
-        (F.col("b.blk").cast("bigint") * F.lit(2**33) + F.col("b.val")).alias(
-            "bucket"
-        ),
-    )
+        F.explode(F.array(*keys)).alias("b"),
+    ).select(key_col, sketch_col, bucket.alias("bucket"))
     # pre-salt persist of the POST-explode block table (same reasoning as
     # minhash_candidate_pairs): the bucket-size stats job and both self-join
     # sides consume it — caching upstream of the explode would re-run the
@@ -420,6 +460,7 @@ def phash_neardup_pairs(
     phash_col: str = "phash",
     max_hamming: int = 6,
     max_bucket: int = 1024,
+    sketch_bits: int = 64,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate IMAGE pairs — the image-payload
     counterpart of ``simhash_candidate_pairs``, over the lake table's
@@ -427,7 +468,9 @@ def phash_neardup_pairs(
     no pixel decode happens here at all: candidate generation is pure
     sketch arithmetic on 10^12 rows). ``max_hamming=6`` is the usual
     near-duplicate band for 64-bit perceptual hashes (re-encodes, small
-    crops); identical frames collapse to star pairs first."""
+    crops); identical frames collapse to star pairs first. A lake whose
+    pHash populates fewer than 64 bits passes ``sketch_bits`` so block
+    entropy covers only real bits (see ``hamming_candidate_pairs``)."""
     return hamming_candidate_pairs(
         images.select(key_col, phash_col),
         key_col=key_col,
@@ -435,6 +478,7 @@ def phash_neardup_pairs(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
         tag="phash_neardup",
+        sketch_bits=sketch_bits,
     )
 
 

@@ -1039,3 +1039,134 @@ SELECT image_id,
        CAST(FLOOR(({lat_r}) * 1e9 + 0.5) AS BIGINT) AS lat_r_e9
 FROM fp
 """
+
+
+# ---------------------------------------------------------------------------
+# Hex (H3-like) and S2-style cell encoders as exact SQL replays (round 5).
+# Promotes the last two rows-only cell entries to value-exact checks: the
+# numpy kernels in functions/cells.py are pure IEEE arithmetic (sqrt(3) is
+# correctly rounded in both engines, np.rint == round_even), so DuckDB can
+# reproduce every cell id bit-for-bit. The S2 replay additionally leans on
+# cos/sin agreeing between numpy and libm on this platform; a disagreement
+# would only matter within ~1 ulp of a 2^-30 ST bucket boundary
+# (~1e-10/row) and would surface as a test failure, not silent error.
+# ---------------------------------------------------------------------------
+
+_D2R = repr(3.141592653589793 / 180.0)
+_S2_SMAX = 1 << 30
+
+
+def _hex_ctes(res: int, tag: str) -> str:
+    """CTE chain replaying functions/cells.py::hex_cell_np at ``res`` over
+    the fp table: axial projection (identical IEEE op order), cube rounding
+    via round_even (== np.rint half-to-even), packed id assembly."""
+    s = repr(45.0 / 2**res)  # power-of-2 quotient: exact in both engines
+    return f"""
+{tag}_0 AS (SELECT image_id, (sqrt(3.0)/3.0 * lon - lat/3.0) / {s} AS qf,
+                   (2.0/3.0 * lat) / {s} AS rf FROM fp),
+{tag}_1 AS (SELECT image_id, qf, rf, -qf - rf AS sf,
+                   round_even(qf,0) AS q0, round_even(rf,0) AS r0 FROM {tag}_0),
+{tag}_2 AS (SELECT *, round_even(sf,0) AS s0 FROM {tag}_1),
+{tag}_3 AS (SELECT image_id,
+   CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+        THEN -r0-s0 ELSE q0 END AS q,
+   CASE WHEN NOT(abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+             AND abs(r0-rf) > abs(s0-sf) THEN -q0-s0 ELSE r0 END AS rr
+   FROM {tag}_2),
+{tag} AS (SELECT image_id,
+   CAST({res} AS BIGINT)*{2**52} + (CAST(q AS BIGINT)+{2**25})*{2**26}
+     + (CAST(rr AS BIGINT)+{2**25}) AS hex_r{res} FROM {tag}_3)
+"""
+
+
+def sql_hex_cells() -> str:
+    """Replay of q_hex_cells (res 7 and 9)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+{_hex_ctes(7, "h7").strip()}, {_hex_ctes(9, "h9").strip()}
+SELECT f.image_id, h7.hex_r7, h9.hex_r9
+FROM fp f JOIN h7 ON f.image_id = h7.image_id
+          JOIN h9 ON f.image_id = h9.image_id
+"""
+
+
+def _s2_ctes(level: int, tag: str) -> str:
+    """CTE chain replaying functions/cells.py::s2_cell_np at ``level``:
+    face-cube projection, quadratic ST, the 30-step Hilbert xy->d walk
+    UNROLLED (one integer-only CTE per step — engine-independent), and
+    two's-complement assembly through HUGEINT (face 4/5 set bit 63)."""
+    head = f"""
+{tag}_xyz AS (
+  SELECT image_id,
+    cos(lat * {_D2R}) * cos(lon * {_D2R}) AS x,
+    cos(lat * {_D2R}) * sin(lon * {_D2R}) AS y,
+    sin(lat * {_D2R}) AS z
+  FROM fp),
+{tag}_face AS (
+  SELECT image_id, x, y, z,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+         WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+         ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+  FROM {tag}_xyz),
+{tag}_uv AS (
+  SELECT image_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM {tag}_face),
+{tag}_st AS (
+  SELECT image_id, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*u) END AS su,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*v) END AS sv
+  FROM {tag}_uv),
+{tag}_hb0 AS (
+  SELECT image_id, face,
+    least(greatest(CAST(trunc(su * {_S2_SMAX}.0) AS BIGINT), 0), {_S2_SMAX - 1}) AS hx,
+    least(greatest(CAST(trunc(sv * {_S2_SMAX}.0) AS BIGINT), 0), {_S2_SMAX - 1}) AS hy,
+    CAST(0 AS BIGINT) AS d
+  FROM {tag}_st)"""
+    steps = []
+    prev = f"{tag}_hb0"
+    for k in range(30):
+        s = 1 << (29 - k)
+        cur = f"{tag}_hb{k + 1}"
+        steps.append(f"""
+{cur} AS (
+  SELECT image_id, face,
+    CASE WHEN (hy & {s}) = 0
+         THEN CASE WHEN (hx & {s}) != 0 THEN {s - 1} - hy ELSE hy END
+         ELSE hx END AS hx,
+    CASE WHEN (hy & {s}) = 0
+         THEN CASE WHEN (hx & {s}) != 0 THEN {s - 1} - hx ELSE hx END
+         ELSE hy END AS hy,
+    d + CAST({s * s} AS BIGINT) * CAST(xor(
+          3 * (CASE WHEN (hx & {s}) != 0 THEN 1 ELSE 0 END),
+          CASE WHEN (hy & {s}) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM {prev})""")
+        prev = cur
+    lvl_shift = 2 * (30 - level)
+    body_shift = 60 - 2 * level
+    tail = f""",
+{tag}_out AS (
+  SELECT image_id,
+    CAST(CASE WHEN vv >= CAST(9223372036854775808 AS HUGEINT)
+              THEN vv - CAST(18446744073709551616 AS HUGEINT) ELSE vv END AS BIGINT) AS s2_l{level}
+  FROM (
+    SELECT image_id,
+      CAST(face AS HUGEINT) * CAST(2305843009213693952 AS HUGEINT) +
+      CAST((((d >> {lvl_shift}) << 1) | 1) AS HUGEINT) * CAST({2**body_shift} AS HUGEINT) AS vv
+    FROM {prev}) t)"""
+    return head + "," + ",".join(steps) + tail
+
+
+def sql_s2_cells() -> str:
+    """Replay of q_s2_cells (levels 12 and 20)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+{_s2_ctes(12, "a").strip()},
+{_s2_ctes(20, "b").strip()}
+SELECT f.image_id, a_out.s2_l12, b_out.s2_l20
+FROM fp f JOIN a_out ON f.image_id = a_out.image_id
+          JOIN b_out ON f.image_id = b_out.image_id
+"""

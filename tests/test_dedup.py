@@ -245,8 +245,10 @@ def test_hamming_candidate_pairs_exact_vs_bruteforce(spark):
     """The generic Hamming-ball self-join must return EXACTLY the brute-force
     pair set (pigeonhole is a guarantee, not a heuristic) while no bucket is
     oversized — verified on random 64-bit sketches plus planted near-dups,
-    at two different max_hamming block layouts (4 blocks and 7, where 64 is
-    not divisible by the block count)."""
+    at two different max_hamming block layouts: h=3 (single-block keys, 4
+    blocks) and h=6 (auto combo_blocks=2 -> C(8,2)=28 paired-block keys,
+    the high-entropy layout round-5 growth measurement motivated), plus the
+    h=6 single-block layout forced explicitly (7 blocks, 64 not divisible)."""
     import itertools
     import random
 
@@ -270,14 +272,15 @@ def test_hamming_candidate_pairs_exact_vs_bruteforce(spark):
                 out.add((min(ia, ib), max(ia, ib)))
         return out
 
-    for h in (3, 6):
+    for h, combo in ((3, None), (6, None), (6, 1)):
         got = {
             (r.id_a, r.id_b)
             for r in dedup.hamming_candidate_pairs(
-                df, "doc_id", "sketch", max_hamming=h, tag=f"t{h}"
+                df, "doc_id", "sketch", max_hamming=h, tag=f"t{h}",
+                combo_blocks=combo,
             ).collect()
         }
-        assert got == brute(h), f"max_hamming={h}"
+        assert got == brute(h), f"max_hamming={h} combo={combo}"
         assert dedup.SALT_METRICS[f"t{h}"]["oversized_buckets"] == 0
     from stac_catalog_builder_spark import cache
 

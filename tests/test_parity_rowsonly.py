@@ -104,6 +104,20 @@ WHERE a.image_id < b.image_id
     assert out.where("hamming = 2").count() >= n_images
 
 
+def test_hex_cells_exact_vs_duckdb(spark, con):
+    """The H3-like encoder replayed bit-for-bit in SQL: identical IEEE op
+    order, round_even == np.rint, packed-id integer assembly. Promotes the
+    hex_cells rows-only entry to a value-exact check."""
+    _assert_parity(e.q_hex_cells(spark, SF), con, oracles.sql_hex_cells())
+
+
+def test_s2_cells_exact_vs_duckdb(spark, con):
+    """The S2-style encoder replayed bit-for-bit: face cube, quadratic ST,
+    the 30-step Hilbert walk unrolled into integer-only CTEs, HUGEINT
+    two's-complement assembly (faces 4/5 set bit 63)."""
+    _assert_parity(e.q_s2_cells(spark, SF), con, oracles.sql_s2_cells())
+
+
 def test_incremental_extents_exact_vs_duckdb(spark, con):
     # mirrors q_incremental_extents: three modular batches folded via the
     # algebraic merge == one flat GROUP BY over all assigned rows
