@@ -374,6 +374,11 @@ def hamming_candidate_pairs(
     if combo_blocks not in (1, 2):
         raise ValueError(f"combo_blocks must be 1 or 2: {combo_blocks}")
     n_blocks = max_hamming + combo_blocks
+    # validate every scalar BEFORE any DataFrame work: _exact_collapse
+    # registers a scoped-persist tag, and erroring after that would leave
+    # a dangling live cache entry until the next same-tag call
+    if not n_blocks <= sketch_bits <= 64:
+        raise ValueError(f"sketch_bits must be in [{n_blocks}, 64]: {sketch_bits}")
     if collapse_identical:
         reps, star = _exact_collapse(
             df.select(key_col, sketch_col),
@@ -384,8 +389,6 @@ def hamming_candidate_pairs(
         )
     else:
         reps, star = df.select(key_col, sketch_col), None
-    if not n_blocks <= sketch_bits <= 64:
-        raise ValueError(f"sketch_bits must be in [{n_blocks}, 64]: {sketch_bits}")
     # block i covers bits [i*W//n, (i+1)*W//n), W = sketch_bits — widths
     # differ by at most one bit when W % n_blocks != 0; shiftright
     # sign-extends but the mask truncates to the block width, so negative

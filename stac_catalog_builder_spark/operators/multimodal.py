@@ -514,10 +514,14 @@ def video_frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
             videos = pdf["video"]
             ids = pdf["image_id"].to_numpy()
             parts: list[pd.DataFrame] = []
-            hkeys = np.array([hash(hd) for hd in headers])
-            for kval in np.unique(hkeys):
-                idx = np.nonzero(hkeys == kval)[0]
-                n, w, h, fps = headers[idx[0]]
+            # group by the header TUPLE itself (a hash()-keyed grouping
+            # could merge colliding headers and slice clips at wrong
+            # offsets)
+            groups: dict[tuple, list[int]] = {}
+            for i, hd in enumerate(headers):
+                groups.setdefault(hd, []).append(i)
+            for (n, w, h, fps), idx_list in groups.items():
+                idx = np.asarray(idx_list)
                 sample = np.arange(0, n, every_n, dtype=np.int64)
                 if not len(sample):
                     continue

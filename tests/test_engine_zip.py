@@ -18,6 +18,12 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def test_engine_zip_matches_source_tree():
+    # engine.zip is force-tracked past .gitignore; if it is ever missing,
+    # fail with the rebuild command instead of a bare FileNotFoundError
+    assert (REPO / "engine.zip").exists(), (
+        "engine.zip missing — rebuild: cd /root/repo && "
+        'zip -rq engine.zip stac_catalog_builder_spark -x "*__pycache__*"'
+    )
     zf = zipfile.ZipFile(REPO / "engine.zip")
     packaged = {
         i.filename: i for i in zf.infolist() if i.filename.endswith(".py")
