@@ -1115,6 +1115,26 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only in the driver window; VALUE-EXACT in pytest
+    (tests/test_parity_rowsonly.py replays the whole pipeline — brute-force
+    bit_count pairs + recursive-CTE connected components — in DuckDB):
+    image near-duplicate GROUPING over the phash column. Each image gets a
+    2-bit re-encode twin; every twin must land in its source's group with
+    the source as the kept survivor (plus whatever genuine near-dup
+    merges the corpus carries)."""
+    from stac_catalog_builder_spark.operators.graph import image_dedup_groups
+
+    imgs = synth.images(spark, sf_dir).select("image_id", "phash")
+    twins = imgs.select(
+        F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b10001)).alias("phash"),
+    )
+    return image_dedup_groups(
+        imgs.unionByName(twins), max_hamming=6, sketch_bits=52
+    )
+
+
 def q_incremental_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (pytest test_incremental.py asserts exact equality with the
     full recompute): incremental catalog maintenance — fold two appended
@@ -1222,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture": q_data_mixture,
         "sequence_pack": q_sequence_pack,
         "incremental_extents": q_incremental_extents,
+        "image_dedup_groups": q_image_dedup_groups,
         "phash_neardup": q_phash_neardup,
         "image_augment": q_image_augment,
         "decontaminate": q_decontaminate,

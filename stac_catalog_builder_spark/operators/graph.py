@@ -266,3 +266,47 @@ def dedup_groups(
         .withColumn("is_kept", F.col(key_col) == F.col("group_id"))
     )
     return out
+
+
+def image_dedup_groups(
+    images: DataFrame,
+    key_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 1024,
+    sketch_bits: int = 64,
+) -> DataFrame:
+    """IMAGE near-duplicate GROUPING — the pixel-free counterpart of
+    ``dedup_groups``: pHash Hamming-ball pairs -> connected components ->
+    (image_id, group_id, is_kept), with group_id = min image_id of the
+    near-duplicate component and ``is_kept`` marking the canonical survivor
+    (keep-first over near-dup groups, extending the reference's
+    drop-first-by-id, terracatalog.py:617-619, to perceptual duplicates).
+
+    Unlike the text pipeline there is NO separate verification stage: every
+    candidate the Hamming join emits already passed the exact ``bit_count``
+    distance filter, so the pair set feeds CC directly. The pair set is
+    canonical by the operator's contract (id_a < id_b, distinct, exact-copy
+    groups star-contracted to their min-id representative), so the CC input
+    skips re-canonicalization. Candidate generation never decodes a pixel —
+    at 10^12 images the whole grouping runs on the lake's phash column."""
+    pairs = _dedup.phash_neardup_pairs(
+        images,
+        key_col=key_col,
+        phash_col=phash_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        sketch_bits=sketch_bits,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), assume_canonical=True
+    )
+    return (
+        images.select(key_col)
+        .join(comp.withColumnRenamed("node", key_col), key_col, "left")
+        .select(
+            F.col(key_col),
+            F.coalesce("component", F.col(key_col)).alias("group_id"),
+        )
+        .withColumn("is_kept", F.col(key_col) == F.col("group_id"))
+    )

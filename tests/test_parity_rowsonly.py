@@ -118,6 +118,42 @@ def test_s2_cells_exact_vs_duckdb(spark, con):
     _assert_parity(e.q_s2_cells(spark, SF), con, oracles.sql_s2_cells())
 
 
+def test_image_dedup_groups_exact_vs_duckdb(spark, con):
+    """The whole image-grouping pipeline replayed in DuckDB: brute-force
+    bit_count pairs (candidate generation is connectivity-preserving, so
+    components match the full pair graph's) + min-label propagation through
+    a recursive CTE (set-semantics union reaches the fixpoint; labels are
+    min over everything each node ever saw)."""
+    sql = f"""
+WITH RECURSIVE {oracles.IMAGES_CTE.strip()},
+base AS (
+  SELECT image_id, phash FROM images
+  UNION ALL
+  SELECT 're_' || image_id, xor(phash, 17) FROM images
+),
+pairs AS (
+  SELECT a.image_id AS ia, b.image_id AS ib
+  FROM base a, base b
+  WHERE a.image_id < b.image_id
+    AND bit_count(xor(a.phash, b.phash)) <= 6
+),
+sym AS (SELECT ia AS u, ib AS v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+lab(node, label) AS (
+  SELECT image_id, image_id FROM base
+  UNION
+  SELECT s.u, l.label FROM sym s JOIN lab l ON l.node = s.v
+),
+comp AS (SELECT node, min(label) AS group_id FROM lab GROUP BY node)
+SELECT b.image_id, c.group_id, b.image_id = c.group_id AS is_kept
+FROM base b JOIN comp c ON c.node = b.image_id
+"""
+    out = e.q_image_dedup_groups(spark, SF)
+    _assert_parity(out, con, sql)
+    # every twin grouped with (at least) its source, source kept
+    n_images = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert out.where("NOT is_kept").count() >= n_images
+
+
 def test_incremental_extents_exact_vs_duckdb(spark, con):
     # mirrors q_incremental_extents: three modular batches folded via the
     # algebraic merge == one flat GROUP BY over all assigned rows
