@@ -1,0 +1,80 @@
+"""Streaming catalog-extent maintenance.
+
+The reference rebuilds every collection's extent from all of its items on
+each update (stacbuilder/builder.py:484-510 — a full-history pass per run).
+The streaming form here is the shape a living 100 TB catalog needs: newly
+assigned assets arrive as a file stream (Kafka in production), each
+micro-batch is reduced to a PER-KEY EXTENT INCREMENT (one dimension-sized
+aggregate — the batch itself is never stored), and increments land in the
+SnapshotStore as per-epoch partitions. Because every extent statistic is
+algebraic (sum/min/max — operators/grouping), the CURRENT catalog extents
+are an exact merge of all committed increments, bit-equal to a from-scratch
+recompute over the full history at any point in time.
+
+Exactly-once falls out of the same two guards as the event sink
+(streaming/events.run_foreach_batch_to_store): epochs already committed to
+lineage are skipped up front, and the store's dynamic-partition-overwrite
+commit makes a replayed half-written epoch replace rather than append —
+a replay can never double-count an increment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.grouping import collection_extents, merge_extent_summaries
+
+
+def run_extent_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    keys: list[str],
+    stage: str = "extent_increments",
+    max_files: int = 1,
+) -> None:
+    """Drive the assigned-asset stream to completion, committing one extent
+    increment per micro-batch epoch. The stream schema is inferred from the
+    staged parquet (production passes an explicit schema/Kafka source)."""
+    schema = spark.read.parquet(src_path).schema
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        done = store.completed_partitions(spark, stage)
+        if done is not None and (
+            done.where(F.col("part_key") == F.lit(str(int(epoch_id))))
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return  # epoch replayed after a successful commit: no-op
+        inc = collection_extents(batch_df, list(keys))
+        store.write_stage(
+            inc.withColumn("part_key", F.lit(int(epoch_id))),
+            stage,
+            "part_key",
+            snapshot_note=f"epoch={epoch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_path)
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def current_extents(
+    spark: SparkSession, store, keys: list[str], stage: str = "extent_increments"
+) -> DataFrame:
+    """The catalog's live per-key extents: one exact algebraic merge over
+    all committed increments (dimension-sized — keys x epochs rows — so
+    this is a cheap read-side aggregate, never a history rescan)."""
+    incs = store.read_stage(spark, stage).drop("part_key")
+    return merge_extent_summaries(list(keys), incs)

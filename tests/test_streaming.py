@@ -115,3 +115,52 @@ def test_streaming_foreach_batch_to_store(spark, events_dir, tmp_path):
     out = store.read_stage(spark, "stream_rollup")
     assert out.count() > 0
     assert store.snapshots("stream_rollup")  # lineage/snapshot rows landed
+
+
+def test_streaming_extent_maintenance_equals_batch(spark, tmp_path):
+    """Streaming catalog maintenance: per-epoch algebraic extent increments
+    merged at read time must equal the from-scratch batch recompute EXACTLY
+    (same rows, same values), across multiple micro-batches."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.operators.grouping import collection_extents
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    keys = ["collection_id", "tile_id"]
+    cols = keys + ["image_id", "fp_w", "fp_s", "fp_e", "fp_n", "datetime"]
+    assigned = e._assigned(spark, "/root/testdata/sf0.001").select(*cols)
+    src = str(tmp_path / "assigned_stream")
+    # several files -> several micro-batch epochs at maxFilesPerTrigger=1
+    assigned.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_extent_maintenance(spark, src, store, keys)
+    assert len(store.snapshots("extent_increments")) >= 2  # multi-epoch run
+
+    def canon(df):
+        return sorted(
+            (
+                r.collection_id,
+                r.tile_id,
+                r.n_assets,
+                round(r.ext_w, 9),
+                round(r.ext_s, 9),
+                round(r.ext_e, 9),
+                round(r.ext_n, 9),
+                r.dt_min,
+                r.dt_max,
+            )
+            for r in df.collect()
+        )
+
+    live = canon(sx.current_extents(spark, store, keys))
+    batch = canon(collection_extents(spark.read.parquet(src), keys))
+    assert live == batch and len(live) > 0
+
+    # re-running the whole stream over the same source must be a no-op
+    # (every epoch already committed -> zero new snapshots, same extents)
+    n_snaps = len(store.snapshots("extent_increments"))
+    sx.run_extent_maintenance(spark, src, store, keys)
+    assert len(store.snapshots("extent_increments")) == n_snaps
+    assert canon(sx.current_extents(spark, store, keys)) == batch
