@@ -12,7 +12,14 @@ discipline (/root/reference/tests/test_commandapi.py:20-57):
 - ``phash_neardup``  — the pigeonhole Hamming-ball join vs a brute-force
   bit_count self-join;
 - ``incremental_extents`` — the three-batch algebraic merge vs one flat
-  aggregation over all assigned rows.
+  aggregation over all assigned rows;
+- ``data_mixture`` — the full two-source weighted mixture (per-source crc32
+  salts, the 31-bit scramble, rate thresholds, the summary aggregate)
+  replayed end to end, not just the scramble primitive;
+- ``doc_fingerprint`` — the min-8-gram rolling hash (Horner polynomial,
+  base 257 mod 2^31-1) replayed as a character-window polynomial with the
+  per-position powers pre-reduced mod M (every product stays < 2^42, so
+  both engines do exact int64 arithmetic).
 """
 
 from __future__ import annotations
@@ -152,6 +159,81 @@ FROM base b JOIN comp c ON c.node = b.image_id
     # every twin grouped with (at least) its source, source kept
     n_images = spark.read.parquet(f"{SF}/orders.parquet").count()
     assert out.where("NOT is_kept").count() >= n_images
+
+
+def test_data_mixture_exact_vs_duckdb(spark, con):
+    """mirrors q_data_mixture end to end: 'primary' = all docs at 0.5,
+    'upweight' = lang='en' docs at 0.9, each drawn with its own crc32-salted
+    31-bit scramble, then the per-source count/sum summary. Extends the
+    test_sampling.py replay from the scramble primitive to the whole entry."""
+    import zlib
+
+    from stac_catalog_builder_spark.operators.sampling import _MIX, _MOD, _SCRAMBLE
+
+    def src_ctes(name: str, rate: float, where: str) -> str:
+        salt = zlib.crc32(name.encode()) % _MOD
+        thr = int(float(rate) * _MOD)
+        return f"""
+{name}_b1 AS (
+  SELECT doc_id, ((k + {salt}) * {_SCRAMBLE}) % {_MOD} AS b FROM b0 {where}
+),
+{name}_b2 AS (
+  SELECT doc_id, (xor(b, b >> 16) * {_MIX}) % {_MOD} AS b FROM {name}_b1
+),
+{name}_kept AS (
+  SELECT '{name}' AS source, doc_id FROM {name}_b2 WHERE xor(b, b >> 13) < {thr}
+)"""
+
+    sql = f"""
+WITH b0 AS (
+  SELECT doc_id, lang,
+         ((xor(doc_id >> 31, doc_id) % {_MOD}) + {_MOD}) % {_MOD} AS k
+  FROM documents
+),{src_ctes("primary", 0.5, "")},{src_ctes("upweight", 0.9, "WHERE lang = 'en'")},
+mix AS (SELECT * FROM primary_kept UNION ALL SELECT * FROM upweight_kept)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM mix GROUP BY source
+"""
+    out = e.q_data_mixture(spark, SF)
+    _assert_parity(out, con, sql)
+    # both sources contribute (the draw is non-degenerate on this corpus)
+    assert out.count() == 2
+
+
+def test_doc_fingerprint_exact_vs_duckdb(spark, con):
+    """mirrors q_doc_fingerprint: fingerprint = min over all 8-char windows
+    of the Horner polynomial hash (base 257, mod 2^31-1) of the window's
+    utf-8 bytes. The corpus is ASCII (asserted), so DuckDB's char positions
+    are the byte positions; powers are inlined pre-reduced mod M exactly as
+    the numpy kernel holds them, keeping every partial product in exact
+    int64 range for both engines."""
+    from stac_catalog_builder_spark.functions.hashes import MERSENNE31, SHINGLE_BASE
+
+    k = 8
+    # the kernel hashes utf-8 BYTES; char arithmetic below is only valid
+    # on an ASCII corpus — assert that precondition rather than assume it
+    assert con.sql(
+        "SELECT count(*) FROM documents WHERE length(text) <> strlen(text)"
+    ).fetchone()[0] == 0
+    powers = [pow(SHINGLE_BASE, k - 1 - j, MERSENNE31) for j in range(k)]
+    poly = " + ".join(
+        f"CAST(ascii(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    sql = f"""
+WITH dt AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(MIN(({poly}) % {MERSENNE31}) AS BIGINT) AS fingerprint
+FROM dt, UNNEST(range(1, length(t) - {k - 2})) AS u(i)
+GROUP BY doc_id
+"""
+    _assert_parity(e.q_doc_fingerprint(spark, SF), con, sql)
 
 
 def test_incremental_extents_exact_vs_duckdb(spark, con):
