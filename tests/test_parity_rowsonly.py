@@ -19,7 +19,11 @@ discipline (/root/reference/tests/test_commandapi.py:20-57):
 - ``doc_fingerprint`` — the min-8-gram rolling hash (Horner polynomial,
   base 257 mod 2^31-1) replayed as a character-window polynomial with the
   per-position powers pre-reduced mod M (every product stays < 2^42, so
-  both engines do exact int64 arithmetic).
+  both engines do exact int64 arithmetic);
+- ``sequence_pack`` — the whole chunk->pack->summarize pipeline replayed:
+  chunking in SQL, and first-fit-decreasing as a RECURSIVE CTE that
+  threads the bin-capacity list through one row per chunk (proving the
+  segment-tree FFD is bit-identical to the sequential definition).
 """
 
 from __future__ import annotations
@@ -234,6 +238,69 @@ FROM dt, UNNEST(range(1, length(t) - {k - 2})) AS u(i)
 GROUP BY doc_id
 """
     _assert_parity(e.q_doc_fingerprint(spark, SF), con, sql)
+
+
+def test_sequence_pack_exact_vs_duckdb(spark, con):
+    """mirrors q_sequence_pack end to end: 64-token chunking, first-fit-
+    decreasing into 256-token contexts, per-context summary. The corpus has
+    < 4096 chunks (asserted), so the derived n_groups is 1 and the pack-group
+    hash is degenerate — every semantic step (token counts, the FFD order
+    ``n_tokens DESC, chunk_id ASC``, bin choice, context ids, the summary)
+    is replayed in SQL. FFD itself runs as a recursive CTE whose state is
+    the bin remaining-capacity LIST: first bin with capacity wins
+    (list_position over a >=-mask), else a new bin opens. This certifies the
+    engine's O(n log n) segment-tree FFD (packing._ffd_positions) is
+    bit-identical to the sequential textbook definition."""
+    n_chunks = con.sql(
+        """SELECT SUM(greatest(CAST(ceil(len(string_split(text,' '))/64.0) AS BIGINT), 1))
+           FROM documents"""
+    ).fetchone()[0]
+    assert n_chunks < 4096, "single-pack-group precondition broken"
+    con.execute(
+        "CREATE MACRO IF NOT EXISTS firstfit(caps, t) AS "
+        "NULLIF(list_position(list_transform(caps, c -> c >= t), true), 0)"
+    )
+    sql = """
+WITH RECURSIVE
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS chunk_id,
+         least(64, len(toks) - i * 64) AS n_tokens
+  FROM dt, UNNEST(range(0, greatest(CAST(ceil(len(toks) / 64.0) AS BIGINT), 1))) AS u(i)
+),
+ordered AS (
+  SELECT chunk_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, chunk_id) AS rn
+  FROM chunks
+),
+ffd(rn, caps, bin_id) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
+  UNION ALL
+  SELECT o.rn,
+         CASE WHEN firstfit(f.caps, o.n_tokens) IS NULL
+              THEN list_append(f.caps, 256 - o.n_tokens)
+              ELSE f.caps[1:firstfit(f.caps, o.n_tokens)-1]
+                   || [f.caps[firstfit(f.caps, o.n_tokens)] - o.n_tokens]
+                   || f.caps[firstfit(f.caps, o.n_tokens)+1:]
+         END,
+         CASE WHEN firstfit(f.caps, o.n_tokens) IS NULL
+              THEN len(f.caps)
+              ELSE firstfit(f.caps, o.n_tokens) - 1 END
+  FROM ffd f JOIN ordered o ON o.rn = f.rn + 1
+),
+assign AS (
+  SELECT o.chunk_id, o.n_tokens, f.bin_id
+  FROM ffd f JOIN ordered o ON o.rn = f.rn
+)
+SELECT '0_' || CAST(bin_id AS VARCHAR) AS context_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assign GROUP BY 1
+"""
+    out = e.q_sequence_pack(spark, SF)
+    _assert_parity(out, con, sql)
+    # non-degenerate packing: multiple chunks per context on this corpus
+    assert out.where("n_chunks > 1").count() > 0
 
 
 def test_incremental_extents_exact_vs_duckdb(spark, con):
