@@ -23,7 +23,16 @@ discipline (/root/reference/tests/test_commandapi.py:20-57):
 - ``sequence_pack`` — the whole chunk->pack->summarize pipeline replayed:
   chunking in SQL, and first-fit-decreasing as a RECURSIVE CTE that
   threads the bin-capacity list through one row per chunk (proving the
-  segment-tree FFD is bit-identical to the sequential definition).
+  segment-tree FFD is bit-identical to the sequential definition);
+- ``minhash_pairs`` — the ENTIRE MinHash-LSH pipeline replayed: exact-dup
+  star collapse, 5-gram shingle hashes, all 64 permutations (a*h+b mod
+  2^31-1, constants imported from the kernel), the 16 band folds, and the
+  share-a-bucket self-join. Valid whenever SALT_METRICS reports zero
+  oversized buckets (asserted) — then the Spark candidate set is exact;
+- ``simhash_pairs`` — the 64-bit SimHash kernel (FNV-style Horner token
+  hash with wrap-around uint64 arithmetic, splitmix64 finalizer, per-bit
+  sign weights) replayed via HUGEINT mod-2^64 list_reduce folds, with the
+  pigeonhole block join checked against a brute-force bit_count self-join.
 """
 
 from __future__ import annotations
@@ -301,6 +310,172 @@ FROM assign GROUP BY 1
     _assert_parity(out, con, sql)
     # non-degenerate packing: multiple chunks per context on this corpus
     assert out.where("n_chunks > 1").count() > 0
+
+
+def test_minhash_pairs_exact_vs_duckdb(spark, con):
+    """mirrors q_minhash_pairs: the corpus doubles every doc (+1e6 ids), so
+    every text has an exact-duplicate group; the replay collapses groups on
+    the raw TEXT (strictly stronger than the engine's md5 identity), hashes
+    every 5-gram shingle (Horner base 257 mod 2^31-1), applies all 64
+    permutations, folds 16 band keys, and self-joins on shared buckets —
+    star pairs ride along. Exactness of the Spark side's candidate set
+    requires zero salted buckets, which SALT_METRICS certifies (asserted
+    below); given that, the two engines must emit the SAME pair set."""
+    from stac_catalog_builder_spark.functions.hashes import (
+        MERSENNE31,
+        MINHASH_A,
+        MINHASH_B,
+        SHINGLE_BASE,
+    )
+    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
+
+    M = MERSENNE31
+    k = 5
+    powers = [pow(SHINGLE_BASE, k - 1 - j, M) for j in range(k)]
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    perm_rows = ", ".join(
+        f"({p}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+    def band_expr(i: int) -> str:
+        acc = str(i + 1)
+        for r in range(4):
+            acc = f"(({acc}) * {SHINGLE_BASE} + s[{i * 4 + r + 1}]) % {M}"
+        return f"({acc}) + {i * M}"
+
+    bands = ", ".join(band_expr(i) for i in range(16))
+    sql = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+grp AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text),
+star AS (
+  SELECT g.rep AS id_a, c.doc_id AS id_b
+  FROM corpus c JOIN grp g USING (text) WHERE c.doc_id <> g.rep
+),
+shing AS (
+  SELECT DISTINCT rep AS doc_id, ({poly}) % {M} AS h
+  FROM grp, UNNEST(range(1, length(text) - {k - 2})) AS u(i)
+),
+perms AS (SELECT * FROM (VALUES {perm_rows}) AS v(p, a, b)),
+sigs AS (
+  SELECT doc_id, p, MIN((h * a + b) % {M}) AS sv
+  FROM shing, perms GROUP BY doc_id, p
+),
+sigarr AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigs GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, bk FROM sigarr, UNNEST([{bands}]) AS u(bk)
+),
+rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM rep_pairs
+UNION ALL
+SELECT id_a, id_b FROM star
+"""
+    out = e.q_minhash_pairs(spark, SF)
+    _assert_parity(out, con, sql)
+    # the exactness precondition: no bucket was salted on this corpus
+    assert SALT_METRICS["minhash_pairs"]["oversized_buckets"] == 0
+    # star pairs alone would be exactly one per doc; LSH must add more
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.count() > n_docs
+
+
+def test_simhash_pairs_exact_vs_duckdb(spark, con):
+    """mirrors q_simhash_pairs: the 64-bit SimHash kernel replayed in SQL —
+    per-token FNV-style Horner fold over utf-8 bytes and the splitmix64
+    finalizer, both in wrap-around uint64 arithmetic emulated as HUGEINT
+    mod 2^64 (multiplications split at 32 bits: a full 2^64 x 2^64 product
+    overflows even HUGEINT) — then per-bit sign weights, two's-complement
+    packing, and a brute-force bit_count self-join at hamming <= 3. Matching
+    the engine certifies both the sketch kernel AND that the pigeonhole
+    block join (zero salted buckets asserted) lost no qualifying pair."""
+    from stac_catalog_builder_spark.functions.hashes import (
+        _SPLITMIX_C1,
+        _SPLITMIX_C2,
+        _SPLITMIX_C3,
+    )
+    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
+
+    W = 1 << 64
+    FNV_OFFSET = 1469598103934665603
+    FNV_BASE = 1099511628211
+    con.execute(
+        "CREATE MACRO IF NOT EXISTS mulmod64(a, c) AS "
+        "((((a >> 32) * c) % 4294967296) * 4294967296"
+        f" + (a % 4294967296) * c) % {W}"
+    )
+    # splitmix64 finalizer, stepwise over [0, 2^64) HUGEINTs
+    con.execute(
+        "CREATE MACRO IF NOT EXISTS mix64(z0) AS ("
+        f"WITH s AS (SELECT (z0 + {int(_SPLITMIX_C1)}) % {W} AS z1), "
+        f"t AS (SELECT mulmod64(xor(z1, z1 >> 30), {int(_SPLITMIX_C2)}) AS z2 FROM s), "
+        f"u AS (SELECT mulmod64(xor(z2, z2 >> 27), {int(_SPLITMIX_C3)}) AS z3 FROM t) "
+        "SELECT xor(z3, z3 >> 31) FROM u)"
+    )
+    sql = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+grp AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text),
+star AS (
+  SELECT g.rep AS id_a, c.doc_id AS id_b
+  FROM corpus c JOIN grp g USING (text) WHERE c.doc_id <> g.rep
+),
+toks AS (
+  SELECT rep AS doc_id, tok
+  FROM grp, UNNEST(string_split(text, ' ')) AS u(tok)
+),
+thash AS (
+  SELECT doc_id,
+         mix64(list_reduce(
+           list_prepend(CAST({FNV_OFFSET} AS HUGEINT),
+                        list_transform(string_split(tok, ''),
+                                       c -> CAST(ascii(c) AS HUGEINT))),
+           (a, b) -> (a * {FNV_BASE} + b) % {W}
+         )) AS h
+  FROM toks
+),
+weights AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS w
+  FROM thash, UNNEST(range(0, 64)) AS u(b)
+  GROUP BY doc_id, b
+),
+sk AS (
+  SELECT doc_id,
+         CAST(
+           CASE WHEN v >= {1 << 63} THEN v - {W} ELSE v END AS BIGINT
+         ) AS sketch
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN w > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS v
+    FROM weights GROUP BY doc_id
+  )
+),
+rep_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sketch, b.sketch)) AS INT) AS hamming
+  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sketch, b.sketch)) <= 3
+)
+SELECT id_a, id_b, hamming FROM rep_pairs
+UNION ALL
+SELECT id_a, id_b, CAST(0 AS INT) FROM star
+"""
+    out = e.q_simhash_pairs(spark, SF)
+    _assert_parity(out, con, sql)
+    assert SALT_METRICS["simhash_pairs"]["oversized_buckets"] == 0
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.count() > n_docs
 
 
 def test_incremental_extents_exact_vs_duckdb(spark, con):
