@@ -312,22 +312,16 @@ FROM assign GROUP BY 1
     assert out.where("n_chunks > 1").count() > 0
 
 
-def test_minhash_pairs_exact_vs_duckdb(spark, con):
-    """mirrors q_minhash_pairs: the corpus doubles every doc (+1e6 ids), so
-    every text has an exact-duplicate group; the replay collapses groups on
-    the raw TEXT (strictly stronger than the engine's md5 identity), hashes
-    every 5-gram shingle (Horner base 257 mod 2^31-1), applies all 64
-    permutations, folds 16 band keys, and self-joins on shared buckets —
-    star pairs ride along. Exactness of the Spark side's candidate set
-    requires zero salted buckets, which SALT_METRICS certifies (asserted
-    below); given that, the two engines must emit the SAME pair set."""
+def _minhash_cte_chain() -> str:
+    """CTE chain ``corpus -> grp/star -> shing -> perms -> sigs -> sigarr ->
+    bandkeys -> rep_pairs`` replaying minhash_candidate_parts on the doubled
+    corpus (shared by the minhash_pairs and dedup_groups replays)."""
     from stac_catalog_builder_spark.functions.hashes import (
         MERSENNE31,
         MINHASH_A,
         MINHASH_B,
         SHINGLE_BASE,
     )
-    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
 
     M = MERSENNE31
     k = 5
@@ -348,8 +342,8 @@ def test_minhash_pairs_exact_vs_duckdb(spark, con):
         return f"({acc}) + {i * M}"
 
     bands = ", ".join(band_expr(i) for i in range(16))
-    sql = f"""
-WITH corpus AS (
+    return f"""
+corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
@@ -374,7 +368,22 @@ bandkeys AS (
 rep_pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def test_minhash_pairs_exact_vs_duckdb(spark, con):
+    """mirrors q_minhash_pairs: the corpus doubles every doc (+1e6 ids), so
+    every text has an exact-duplicate group; the replay collapses groups on
+    the raw TEXT (strictly stronger than the engine's md5 identity), hashes
+    every 5-gram shingle (Horner base 257 mod 2^31-1), applies all 64
+    permutations, folds 16 band keys, and self-joins on shared buckets —
+    star pairs ride along. Exactness of the Spark side's candidate set
+    requires zero salted buckets, which SALT_METRICS certifies (asserted
+    below); given that, the two engines must emit the SAME pair set."""
+    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
+
+    sql = f"""
+WITH {_minhash_cte_chain().strip()}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM rep_pairs
 UNION ALL
 SELECT id_a, id_b FROM star
@@ -386,6 +395,64 @@ SELECT id_a, id_b FROM star
     # star pairs alone would be exactly one per doc; LSH must add more
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert out.count() > n_docs
+
+
+def test_dedup_groups_exact_vs_duckdb(spark, con):
+    """THE flagship text-dedup pipeline (q_dedup_groups) replayed end to end:
+    minhash LSH candidates (the shared CTE chain) -> exact whitespace-token
+    Jaccard verification at >= 0.8 (the same IEEE double division on both
+    sides) -> connected components on the verified rep graph (recursive-CTE
+    min-label propagation to the fixpoint) -> star members adopt their
+    representative's component -> (doc_id, group_id, is_kept). Matching the
+    engine certifies candidates, verification, the large-star/small-star CC
+    rounds, AND the star-contraction soundness argument (reps are group
+    minima, so component minima survive contraction) in one comparison."""
+    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
+
+    sql = f"""
+WITH RECURSIVE {_minhash_cte_chain().strip()},
+tokset AS (
+  SELECT rep AS doc_id, list_distinct(string_split(text, ' ')) AS tk FROM grp
+),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(ta.tk, x -> list_contains(tb.tk, x))) AS ni,
+         len(ta.tk) + len(tb.tk) AS st
+  FROM rep_pairs p
+  JOIN tokset ta ON ta.doc_id = p.id_a
+  JOIN tokset tb ON tb.doc_id = p.id_b
+),
+verified AS (
+  SELECT id_a, id_b FROM jac
+  WHERE CAST(ni AS DOUBLE) / (st - ni) >= 0.8
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+lab(node, label) AS (
+  SELECT rep, rep FROM grp
+  UNION
+  SELECT s.u, l.label FROM sym s JOIN lab l ON l.node = s.v
+),
+comp AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node),
+memb AS (
+  SELECT s.id_b AS node, COALESCE(c.component, s.id_a) AS component
+  FROM star s LEFT JOIN comp c ON c.node = s.id_a
+),
+all_lab AS (SELECT * FROM comp UNION ALL SELECT * FROM memb)
+SELECT cp.doc_id,
+       COALESCE(al.component, cp.doc_id) AS group_id,
+       COALESCE(al.component, cp.doc_id) = cp.doc_id AS is_kept
+FROM corpus cp LEFT JOIN all_lab al ON al.node = cp.doc_id
+"""
+    out = e.q_dedup_groups(spark, SF)
+    _assert_parity(out, con, sql)
+    assert SALT_METRICS["minhash_pairs"]["oversized_buckets"] == 0
+    # the doubled corpus guarantees real near-dup groups: every original
+    # doc must share its group with its +1e6 twin and not be kept twice
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.where("NOT is_kept").count() >= n_docs
 
 
 def test_simhash_pairs_exact_vs_duckdb(spark, con):
@@ -476,6 +543,25 @@ SELECT id_a, id_b, CAST(0 AS INT) FROM star
     assert SALT_METRICS["simhash_pairs"]["oversized_buckets"] == 0
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert out.count() > n_docs
+
+
+def test_knn_cellring_fixed_exact_vs_duckdb(spark, con):
+    """The fixed-radius cellring kNN is EXACT (pruning never drops a true
+    neighbor at res=8/ring 16), so the brute-force oracle that already backs
+    `knn`/`knn_cellring` in the driver window applies verbatim — this
+    promotes the rows-only entry to a direct value-exact check rather than
+    the transitive row-identity pytest alone."""
+    _assert_parity(e.q_knn_cellring_fixed(spark, SF), con, oracles.sql_knn(k=5))
+
+
+def test_spatial_join_partitioned_exact_vs_duckdb(spark, con):
+    """The shuffle-path PIP join (non-broadcastable polygon dimension) must
+    produce exactly the broadcast path's assignment, so the spatial_join
+    oracle applies verbatim — a direct DuckDB value check on top of the
+    existing row-identity pytest."""
+    _assert_parity(
+        e.q_spatial_join_partitioned(spark, SF), con, oracles.sql_spatial_join()
+    )
 
 
 def test_incremental_extents_exact_vs_duckdb(spark, con):
