@@ -32,7 +32,13 @@ discipline (/root/reference/tests/test_commandapi.py:20-57):
 - ``simhash_pairs`` — the 64-bit SimHash kernel (FNV-style Horner token
   hash with wrap-around uint64 arithmetic, splitmix64 finalizer, per-bit
   sign weights) replayed via HUGEINT mod-2^64 list_reduce folds, with the
-  pigeonhole block join checked against a brute-force bit_count self-join.
+  pigeonhole block join checked against a brute-force bit_count self-join;
+- ``dedup_groups`` — the ENTIRE flagship text-dedup pipeline (LSH
+  candidates -> IEEE-identical Jaccard verify -> recursive-CTE connected
+  components -> star contraction -> keep-first) in one comparison;
+- ``knn_cellring_fixed`` / ``spatial_join_partitioned`` — exactness claims
+  checked directly against the oracle SQL that backs their driver-window
+  twins (previously only transitive row-identity pytests).
 """
 
 from __future__ import annotations
