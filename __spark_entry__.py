@@ -1040,6 +1040,16 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest: permutation/determinism properties + exact DuckDB
+    replay of the rank): reproducible global shuffle order over the
+    documents table — each row's dense rank under (bucket(key), key),
+    computed block-wise with no global sort (see
+    sampling.deterministic_shuffle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return sampling.deterministic_shuffle(docs, "doc_id", salt=3, n_blocks=64)
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (pytest test_packing.py pins exactly-once coverage, hard
     budget, utilization > 0.85, partition-independence): chunk the documents
@@ -1240,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cellring_fixed": q_knn_cellring_fixed,
         "dataset_split": q_dataset_split,
         "data_mixture": q_data_mixture,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "sequence_pack": q_sequence_pack,
         "incremental_extents": q_incremental_extents,
         "image_dedup_groups": q_image_dedup_groups,

@@ -188,3 +188,53 @@ def weighted_mixture(
     if out is None:
         raise ValueError("sources must be non-empty")
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    n_blocks: int = 4096,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Reproducible global shuffle order: every row gets a dense rank in
+    [0, n) under ``(bucket(key), key)`` — the data-order randomization step
+    of a pretraining run, made a pure function of the keys. Identical
+    across runs, retries, partitionings, and cluster sizes; ``orderBy(
+    rand())`` and RDD-shuffle orderings are none of those. ``salt`` selects
+    the epoch permutation (salt=epoch gives a fresh order per epoch with
+    zero stored state). Keys are assumed unique (every per-key operator
+    here shares that contract); duplicate keys would tie in the order.
+
+    Scalable shape — NO global sort: the bucket's high bits define
+    ``n_blocks`` contiguous rank ranges, one dimension-sized aggregate
+    counts each block, a cumsum over that tiny table (single-partition
+    window over <= n_blocks rows, never the fact table) turns counts into
+    block offsets, and each row's rank = its block offset + its rank
+    WITHIN the block (one fact-table shuffle, on the block key). At 10^12
+    rows each block holds ~rows/n_blocks; no task ever sees the global
+    order. Exactly SQL-replayable: rank == ROW_NUMBER() OVER (ORDER BY
+    bucket, key) - 1 (pinned vs DuckDB in tests).
+    """
+    if n_blocks < 1 or n_blocks & (n_blocks - 1):
+        raise ValueError(f"n_blocks must be a power of two: {n_blocks}")
+    from pyspark.sql import Window
+
+    shift = 31 - (n_blocks.bit_length() - 1)
+    keyed = df.withColumn("_sb", _bucket(F.col(key_col), salt)).withColumn(
+        "_blk", F.shiftright(F.col("_sb"), shift)
+    )
+    sizes = keyed.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    cum = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_blk", F.coalesce(F.sum("_bn").over(cum), F.lit(0)).alias("_off")
+    )
+    rank_w = Window.partitionBy("_blk").orderBy("_sb", key_col)
+    return (
+        keyed.join(F.broadcast(offsets), "_blk")
+        .withColumn(
+            out_col,
+            (F.row_number().over(rank_w).cast("bigint") - 1) + F.col("_off"),
+        )
+        .drop("_sb", "_blk", "_off")
+    )

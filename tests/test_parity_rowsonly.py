@@ -221,6 +221,34 @@ FROM mix GROUP BY source
     assert out.count() == 2
 
 
+def test_deterministic_shuffle_exact_vs_duckdb(spark, con):
+    """mirrors q_deterministic_shuffle: the engine computes the global rank
+    block-wise (block counts + offset cumsum + within-block rank, no global
+    sort); the replay IS the definition — ROW_NUMBER() OVER (ORDER BY
+    bucket, key) - 1 on the same 31-bit scramble. Equality proves the
+    block decomposition reconstructs the exact total order."""
+    from stac_catalog_builder_spark.operators.sampling import _MIX, _MOD, _SCRAMBLE
+
+    salt = 3
+    sql = f"""
+WITH b0 AS (
+  SELECT doc_id,
+         ((xor(doc_id >> 31, doc_id) % {_MOD}) + {_MOD}) % {_MOD} AS k
+  FROM documents
+), b1 AS (
+  SELECT doc_id, ((k + {salt}) * {_SCRAMBLE}) % {_MOD} AS b FROM b0
+), b2 AS (
+  SELECT doc_id, (xor(b, b >> 16) * {_MIX}) % {_MOD} AS b FROM b1
+), b3 AS (
+  SELECT doc_id, xor(b, b >> 13) AS b FROM b2
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY b, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM b3
+"""
+    _assert_parity(e.q_deterministic_shuffle(spark, SF), con, sql)
+
+
 def test_doc_fingerprint_exact_vs_duckdb(spark, con):
     """mirrors q_doc_fingerprint: fingerprint = min over all 8-char windows
     of the Horner polynomial hash (base 257, mod 2^31-1) of the window's

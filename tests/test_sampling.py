@@ -134,3 +134,33 @@ def test_upsample_rate_copies_and_determinism(spark, docs):
     assert upsample(docs, 0.0).count() == 0
     with pytest.raises(ValueError, match=">= 0"):
         upsample(docs, -1.0)
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark, docs):
+    from stac_catalog_builder_spark.operators.sampling import deterministic_shuffle
+
+    n = docs.count()
+    out = deterministic_shuffle(docs, "doc_id", salt=3, n_blocks=64)
+    got = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    # a dense permutation of [0, n)
+    assert sorted(got.values()) == list(range(n))
+    # stable under repartitioning (the property orderBy(rand()) lacks)
+    again = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(
+            docs.repartition(13), "doc_id", salt=3, n_blocks=64
+        ).collect()
+    }
+    assert got == again
+    # a different salt is a different epoch permutation over the same keys
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", salt=4, n_blocks=64).collect()
+    }
+    assert sorted(other.values()) == list(range(n))
+    assert other != got
+    # no global sort in the plan: rank blocks keep every exchange hash-based
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    with pytest.raises(ValueError, match="power of two"):
+        deterministic_shuffle(docs, "doc_id", n_blocks=48)
