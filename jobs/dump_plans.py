@@ -124,6 +124,15 @@ def main() -> None:
             _mixture_plan(spark),
         ),
         (
+            "deterministic_shuffle (global rank without a global sort)",
+            "Claim: NO rangepartitioning / global Sort anywhere — the rank "
+            "decomposes into block counts (a dimension-sized aggregate), a "
+            "cumsum window over the tiny block table, a broadcast offset "
+            "join back, and ONE fact-table hash exchange on the block key "
+            "for the within-block window. All integer codegen, no Python.",
+            e.queries()["deterministic_shuffle"](spark, SF),
+        ),
+        (
             "sequence_pack (single-shuffle packing)",
             "Claim: exactly ONE exchange (the pack_group hash partition) "
             "feeding one Arrow-batched FlatMapGroupsInPandas; group "
