@@ -1170,6 +1170,47 @@ def q_incremental_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the identical window
+    fold in DuckDB value-exactly; tests/test_temporal.py checks a brute-force
+    numpy interval-union oracle per key): per-collection temporal-coverage
+    quality — union length, island count, and largest gap of the acquisition
+    intervals, in ONE window pass + ONE reused-partitioning aggregate (the
+    reference publishes only the hull, builder.py:484-510). Intervals are
+    derived deterministically from the image table (start = datetime +
+    (img_key % 500) h, duration = 30 min + (img_key % 7) * 10 min)."""
+    from stac_catalog_builder_spark.operators.temporal import interval_coverage
+
+    start_s = F.unix_timestamp("datetime") + (F.col("img_key") % 500) * 3600
+    iv = _assigned(spark, sf_dir).select(
+        "collection_id",
+        start_s.alias("start_s"),
+        (start_s + 1800 + (F.col("img_key") % 7) * 600).alias("end_s"),
+    )
+    return interval_coverage(iv, ["collection_id"])
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the full hash ->
+    register -> merge -> estimate chain in DuckDB, value-exact except the two
+    ln()-bearing columns at +/-1; tests/test_sketches.py proves merge ==
+    direct and the accuracy bound vs exact COUNT DISTINCT): HyperLogLog
+    distinct-phash-per-collection — registers built per (collection, tile),
+    max-MERGED up to collection, then estimated. The sketch state is the
+    mergeable catalog statistic a 10^12-image table needs where an exact
+    distinct would shuffle every key (operators/sketches.py)."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    regs_fine = hll_registers(
+        _assigned(spark, sf_dir), ["collection_id", "tile_id"], "phash"
+    )
+    return hll_estimate(hll_merge(regs_fine, ["collection_id"]), ["collection_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1257,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "image_augment": q_image_augment,
         "decontaminate": q_decontaminate,
+        "temporal_coverage": q_temporal_coverage,
+        "hll_distinct": q_hll_distinct,
     }
 
 

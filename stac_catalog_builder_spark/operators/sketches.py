@@ -1,0 +1,176 @@
+"""Mergeable cardinality sketches (HyperLogLog) as pure JVM column algebra.
+
+The reference counts collection membership by materializing every item and
+grouping (stacbuilder/builder.py:733 logs per-10,000-item progress; the
+GeodataframeExporter dumps full item sets to disk to inspect them).  At
+10^12 images an exact COUNT(DISTINCT) is a full shuffle of the distinct keys;
+the catalog statistics a user actually wants ("how many distinct scenes /
+captions / perceptual hashes does this collection hold?") tolerate ~1.6%
+error, which an HLL sketch with m=4096 registers delivers from a
+constant-size, algebraically mergeable state.
+
+Design (100 TB shape):
+- registers are a ``(group_keys..., bucket, register)`` table of at most
+  ``m`` rows per group — ``groupBy().max()`` computes them with map-side
+  partial aggregation, so the shuffle carries at most ``m`` rows per group
+  per input partition, never the raw keys;
+- merge across groups IS ``max()`` again (register-wise), so rollups
+  (tile -> collection -> catalog) and incremental maintenance (new batch ->
+  max-merge with stored registers) are one aggregate each, exactly like the
+  algebraic extent merges in ``operators.grouping.incremental_extents``;
+- the hash is murmur3's ``fmix32`` finalizer over the two 32-bit halves of
+  the key, cross-coupled — exact integer arithmetic both engines replay
+  bit-for-bit (tests/test_parity_rowsonly.py): XOR/shift are native int64
+  ops, and the 32-bit wraparound multiplies split the constant at 16 bits so
+  every product stays < 2^49 (ANSI-safe).  An affine hash mod 2^31-1 was
+  measured first and left +/-6% lattice bias in the bucket occupancy of the
+  structured phash keys; fmix32 sits at the Poisson expectation;
+- rho (leading-zero rank of the 32-bit ``a`` lane) comes from
+  ``length(bin(a))`` — both engines print minimal binary strings, so the
+  count is exact, never ``log2`` floating-point;
+- the harmonic estimate divides a Python-literal constant by an exactly
+  computed int64 (register sum pre-scaled by 2^33 so every term is an
+  integer; the total is <= 4096 * 2^33 = 2^45), one IEEE double division
+  both engines round identically.
+
+The estimator is Flajolet et al.'s HLL (AoFA 2007): harmonic mean of
+register loads with the small-range linear-counting correction.  The two
+``ln()``-bearing output columns are the only place cross-engine bit-equality
+is not guaranteed (libm may differ by 1 ulp); the parity test compares them
+at +/-1 after the e3 floor and everything else exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_BITS = 12
+M_REG = 1 << P_BITS  # 4096 registers -> ~1.04/sqrt(m) = 1.6% std error
+RHO_MAX = 33  # leading-zero rank of a 32-bit lane, +1, w=0 -> 33
+SCALE_BITS = RHO_MAX  # sum(2^(SCALE_BITS - reg)) stays integral for reg >= 1
+ALPHA = 0.7213 / (1.0 + 1.079 / M_REG)  # alpha_m for m >= 128
+# harmonic numerator: alpha * m^2 * 2^SCALE_BITS, one Python double literal
+# shared with the DuckDB oracle so both engines divide the same constant
+HARMONIC_NUM = ALPHA * M_REG * M_REG * float(1 << SCALE_BITS)
+M32 = 1 << 32
+FMIX_C1, FMIX_C2 = 0x85EBCA6B, 0xC2B2AE35
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """(x * c) mod 2^32 for 0 <= x < 2^32 without int64 overflow: split the
+    constant at 16 bits so both partial products stay below 2^49."""
+    cl, ch = c & 0xFFFF, c >> 16
+    return F.pmod(x * F.lit(cl) + F.pmod(x * F.lit(ch), F.lit(1 << 16)) * F.lit(1 << 16), F.lit(M32))
+
+
+def fmix32(x: Column) -> Column:
+    """murmur3 32-bit finalizer, exact int64 column arithmetic."""
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = _mul32(x, FMIX_C1)
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = _mul32(x, FMIX_C2)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def hll_lanes(key: Column) -> tuple[Column, Column]:
+    """Two cross-coupled 32-bit hash lanes of a non-negative int64 key:
+    ``a = fmix32(lo)``, ``b = fmix32(hi XOR a)``. The (a, b) pair spans the
+    full 64-bit input, so distinct keys collide with probability ~n^2/2^64,
+    not n^2/2^32."""
+    lo = F.pmod(key, F.lit(M32))
+    hi = F.shiftright(key, 32)
+    a = fmix32(lo)
+    b = fmix32(hi.bitwiseXOR(a))
+    return a, b
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., bucket, register).
+
+    At most ``M_REG`` rows per group regardless of input size; the
+    ``groupBy().max()`` runs with map-side partial aggregation so raw keys
+    never shuffle. Output IS the sketch state: store it, union it with a
+    later batch's registers and ``hll_merge`` — max() — to maintain counts
+    incrementally without rescanning history. ``key_col`` must be a
+    non-negative int64 (hash strings upstream first).
+    """
+    a, b = hll_lanes(F.col(key_col))
+    bucket = F.pmod(b, F.lit(M_REG))
+    rho = F.when(a == 0, F.lit(RHO_MAX)).otherwise(
+        F.lit(RHO_MAX) - F.length(F.bin(a))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches to a coarser grouping: register-wise max. Algebraic —
+    merging (collection, tile) sketches up to collection is EXACTLY the
+    sketch that would have been built from the raw rows (max is associative,
+    commutative, idempotent), which tests/test_sketches.py asserts."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Emits exact integer sketch state plus the two estimator branches:
+    - ``s_scaled``: sum over all m registers of 2^(SCALE_BITS - register)
+      (absent registers count as 2^SCALE_BITS), an exact int64 <= 2^45;
+    - ``v_zero``: number of empty registers;
+    - ``est_harmonic_e3``: floor(1000 * alpha * m^2 * 2^33 / s_scaled);
+    - ``est_linear_e3``: floor(1000 * m * ln(m / v_zero)) when v_zero > 0
+      (the small-range correction), else NULL;
+    - ``est_e3``: the standard selector — linear when v_zero > 0 and the
+      harmonic estimate is below 2.5m, else harmonic.
+    """
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        # shiftleft by a COLUMN needs the SQL form (the pyspark wrapper only
+        # accepts a literal shift amount)
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({SCALE_BITS} - register as int))")
+        ).alias("s_present"),
+    )
+    s_scaled = (
+        F.col("s_present")
+        + (F.lit(M_REG) - F.col("n_present")) * F.lit(1 << SCALE_BITS)
+    ).alias("s_scaled")
+    out = per_group.select(
+        *group_cols,
+        s_scaled,
+        (F.lit(M_REG) - F.col("n_present")).alias("v_zero"),
+    )
+    harmonic = F.floor(F.lit(1000.0) * F.lit(HARMONIC_NUM) / F.col("s_scaled"))
+    linear = F.when(
+        F.col("v_zero") > 0,
+        F.floor(
+            F.lit(1000.0 * M_REG)
+            * F.log(F.lit(float(M_REG)) / F.col("v_zero").cast("double"))
+        ),
+    )
+    use_linear = (F.col("v_zero") > 0) & (
+        harmonic <= F.lit(int(2.5 * M_REG * 1000))
+    )
+    return out.select(
+        *group_cols,
+        "s_scaled",
+        "v_zero",
+        harmonic.alias("est_harmonic_e3"),
+        linear.alias("est_linear_e3"),
+        F.when(use_linear, linear).otherwise(harmonic).alias("est_e3"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """One-shot estimate: registers -> estimate, single shuffle pair whose
+    exchanged rows are bounded by m per group per input partition."""
+    return hll_estimate(hll_registers(df, group_cols, key_col), group_cols)

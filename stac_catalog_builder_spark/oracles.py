@@ -14,6 +14,7 @@ milli/micro-degree BIGINTs via ``FLOOR(x*scale + 0.5)`` (identical doubles in
 
 from __future__ import annotations
 
+from .operators.sketches import HARMONIC_NUM as HLL_HARMONIC_NUM
 from .synth import (
     GRID_DLAT,
     GRID_DLON,
@@ -1169,4 +1170,104 @@ WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
 SELECT f.image_id, a_out.s2_l12, b_out.s2_l20
 FROM fp f JOIN a_out ON f.image_id = a_out.image_id
           JOIN b_out ON f.image_id = b_out.image_id
+"""
+
+
+def sql_temporal_coverage() -> str:
+    """Replay of q_temporal_coverage: per-collection union of acquisition
+    intervals via the single-pass running-max fold (gaps-and-islands without
+    materializing islands). Every quantity is an exact int64 second count, so
+    the comparison is value-exact; the fold is tie-order-invariant for any
+    ordering with non-decreasing starts (operators/temporal.py docstring)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()},
+intervals AS (
+  SELECT collection_id,
+         CAST(epoch(datetime) AS BIGINT) + (img_key % 500) * 3600 AS start_s,
+         CAST(epoch(datetime) AS BIGINT) + (img_key % 500) * 3600
+           + 1800 + (img_key % 7) * 600 AS end_s
+  FROM assigned),
+marked AS (
+  SELECT collection_id, start_s, end_s,
+         MAX(end_s) OVER (PARTITION BY collection_id ORDER BY start_s, end_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM intervals)
+SELECT collection_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN prev_max IS NULL OR start_s > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+       CAST(SUM(GREATEST(0, end_s - GREATEST(start_s, COALESCE(prev_max, start_s))))
+            AS BIGINT) AS coverage_s,
+       COALESCE(MAX(CASE WHEN prev_max IS NOT NULL AND start_s > prev_max
+                         THEN start_s - prev_max END), 0) AS max_gap_s,
+       MIN(start_s) AS t_min_s,
+       MAX(end_s) AS t_max_s
+FROM marked
+GROUP BY collection_id
+"""
+
+
+def _fmix32_sql(inp: str, tag: str) -> str:
+    """SELECT-list fragment computing murmur3 fmix32 of ``inp`` into alias
+    ``tag`` via DuckDB lateral column references; constants split at 16 bits
+    exactly as operators/sketches.py::_mul32 does."""
+    c1l, c1h = 0x85EBCA6B & 0xFFFF, 0x85EBCA6B >> 16
+    c2l, c2h = 0xC2B2AE35 & 0xFFFF, 0xC2B2AE35 >> 16
+    return f"""
+    xor({inp}, {inp} >> 16) AS {tag}_x1,
+    ({tag}_x1 * {c1l} + (({tag}_x1 * {c1h}) % 65536) * 65536) % 4294967296 AS {tag}_x2,
+    xor({tag}_x2, {tag}_x2 >> 13) AS {tag}_x3,
+    ({tag}_x3 * {c2l} + (({tag}_x3 * {c2h}) % 65536) * 65536) % 4294967296 AS {tag}_x4,
+    xor({tag}_x4, {tag}_x4 >> 16) AS {tag}"""
+
+
+def sql_hll_distinct() -> str:
+    """Replay of q_hll_distinct: the fmix32 lane hash, the HLL register build
+    over (collection, tile), the max-merge to collection, and the estimate —
+    bit-for-bit integer arithmetic (operators/sketches.py constants inlined;
+    XOR/shift native, 32-bit multiplies split at 16 bits so BIGINT suffices).
+    est_linear_e3/est_e3 pass through ln(), where the two engines' libm may
+    differ by 1 ulp — the parity test compares those two columns with a +/-1
+    tolerance and everything else exactly."""
+    harmonic = (
+        f"CAST(FLOOR(1000.0 * {HLL_HARMONIC_NUM!r} / s_scaled) AS BIGINT)"
+    )
+    linear = "CAST(FLOOR(4096000.0 * ln(4096.0 / v_zero)) AS BIGINT)"
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()},
+hashed AS (
+  SELECT collection_id, tile_id,
+    phash % 4294967296 AS lo,
+    phash >> 32 AS hi,{_fmix32_sql("lo", "a")},
+    xor(hi, a) AS bx,{_fmix32_sql("bx", "b")}
+  FROM assigned),
+regs_fine AS (
+  SELECT collection_id, tile_id, b % 4096 AS bucket,
+         MAX(CASE WHEN a = 0 THEN 33 ELSE 33 - length(bin(a)) END) AS register
+  FROM hashed
+  GROUP BY collection_id, tile_id, b % 4096),
+regs AS (
+  SELECT collection_id, bucket, MAX(register) AS register
+  FROM regs_fine
+  GROUP BY collection_id, bucket),
+est AS (
+  SELECT collection_id,
+         CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(1::BIGINT << (33 - register)) AS BIGINT) AS s_present
+  FROM regs
+  GROUP BY collection_id),
+state AS (
+  SELECT collection_id,
+         s_present + (4096 - n_present) * (1::BIGINT << 33) AS s_scaled,
+         4096 - n_present AS v_zero
+  FROM est)
+SELECT collection_id, s_scaled, v_zero,
+       {harmonic} AS est_harmonic_e3,
+       CASE WHEN v_zero > 0 THEN {linear} END AS est_linear_e3,
+       CASE WHEN v_zero > 0 AND {harmonic} <= 10240000
+            THEN {linear} ELSE {harmonic} END AS est_e3
+FROM state
 """

@@ -614,3 +614,30 @@ FROM assigned
 GROUP BY collection_id, tile_id
 """
     _assert_parity(e.q_incremental_extents(spark, SF), con, sql)
+
+
+def test_temporal_coverage_exact_vs_duckdb(spark, con):
+    """The single-pass running-max fold (union length, island count, largest
+    gap) replayed as the identical window in DuckDB — exact int64 seconds."""
+    _assert_parity(
+        e.q_temporal_coverage(spark, SF), con, oracles.sql_temporal_coverage()
+    )
+
+
+def test_hll_distinct_vs_duckdb(spark, con):
+    """The fmix32 lane hash, register build, rollup merge, and estimate
+    replayed in DuckDB. Sketch state (s_scaled, v_zero) and the harmonic
+    estimate are value-exact; the two ln()-bearing columns are compared at
+    +/-1 after the e3 floor (cross-engine libm may differ by 1 ulp)."""
+    got = _norm(e.q_hll_distinct(spark, SF).toPandas())
+    want = _norm(con.sql(oracles.sql_hll_distinct()).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    ln_cols = ["est_linear_e3", "est_e3"]
+    exact = [c for c in got.columns if c not in ln_cols]
+    pd.testing.assert_frame_equal(
+        got[exact], want[exact], check_dtype=False, check_exact=True
+    )
+    for c in ln_cols:
+        diff = (got[c].astype("float") - want[c].astype("float")).abs()
+        assert diff.max() <= 1, (c, diff.max())

@@ -70,3 +70,74 @@ def test_asof_preserves_left_cardinality(spark):
     assert out.count() == 100
     matched = out.where(F.col("asof_v").isNotNull())
     assert matched.count() == 20  # only user 0 has a preceding update
+
+
+# --- interval_coverage (gaps-and-islands) ----------------------------------
+
+import numpy as np
+
+from stac_catalog_builder_spark.operators.temporal import interval_coverage
+
+
+def _union_oracle(ivs):
+    """Brute-force interval union: sort, sweep, return
+    (n_islands, coverage, max_gap)."""
+    ivs = sorted(ivs)
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    cov = sum(e - s for s, e in islands)
+    gaps = [islands[i + 1][0] - islands[i][1] for i in range(len(islands) - 1)]
+    return len(islands), cov, max(gaps) if gaps else 0
+
+
+def test_interval_coverage_vs_brute_force(spark):
+    rng = np.random.default_rng(1234)
+    rows = []
+    per_key = {}
+    for k in range(6):
+        n = int(rng.integers(1, 40))
+        starts = rng.integers(0, 10_000, size=n)
+        durs = rng.integers(1, 900, size=n)  # short/long mix -> nesting + gaps
+        ivs = [(int(s), int(s + d)) for s, d in zip(starts, durs)]
+        # force pathologies: duplicates, containment, touching
+        if n >= 3:
+            ivs.append(ivs[0])  # exact duplicate
+            ivs.append((ivs[1][0] + 1, ivs[1][1] - 1 if ivs[1][1] - ivs[1][0] > 2 else ivs[1][1]))
+            ivs.append((ivs[2][1], ivs[2][1] + 5))  # touching: no gap
+        per_key[f"k{k}"] = ivs
+        rows += [(f"k{k}", s, e) for s, e in ivs]
+    df = spark.createDataFrame(rows, "key string, start_s long, end_s long")
+    got = {
+        r["key"]: (r["n_intervals"], r["n_islands"], r["coverage_s"], r["max_gap_s"])
+        for r in interval_coverage(df, ["key"]).collect()
+    }
+    for k, ivs in per_key.items():
+        n_isl, cov, mg = _union_oracle(ivs)
+        assert got[k] == (len(ivs), n_isl, cov, mg), k
+
+
+def test_interval_coverage_touching_is_contiguous(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 10, 20), ("a", 30, 35)],
+        "key string, start_s long, end_s long",
+    )
+    [r] = interval_coverage(df, ["key"]).collect()
+    assert (r["n_islands"], r["coverage_s"], r["max_gap_s"]) == (2, 25, 10)
+    assert (r["t_min_s"], r["t_max_s"]) == (0, 35)
+
+
+def test_interval_coverage_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10)], "key string, start_s long, end_s long"
+    )
+    plan = (
+        interval_coverage(df, ["key"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the window and the final aggregate partition on the same key: ONE
+    # exchange serves both (the aggregate reuses the window's partitioning)
+    assert plan.count("Exchange") == 1, plan
