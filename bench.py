@@ -104,6 +104,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "spatial_join_partitioned",
         "dedup_groups",
         "sequence_pack",
+        "temporal_coverage",
+        "hll_distinct",
     ]
     qs = e.queries()
     for name in bench_queries:

@@ -133,6 +133,26 @@ def main() -> None:
             e.queries()["deterministic_shuffle"](spark, SF),
         ),
         (
+            "hll_distinct (sketch aggregation — raw keys never shuffle)",
+            "Claim: the fmix32 hash chain is pure codegen integer algebra "
+            "(no Python, no transcendentals); every aggregate is a "
+            "partial+final HashAggregate pair, so each input partition "
+            "ships at most m register rows per group into each exchange — "
+            "raw keys never shuffle. The dumped entry runs the full rollup "
+            "chain (registers per (collection, tile) -> max-merge to "
+            "collection -> estimate): three register-bounded exchanges; "
+            "the direct single-group path uses two.",
+            e.queries()["hll_distinct"](spark, SF),
+        ),
+        (
+            "temporal_coverage (one-shuffle gaps-and-islands)",
+            "Claim: ONE Exchange hashpartitioning total — the running-max "
+            "window and the final aggregate partition on the same keys, so "
+            "the aggregate reuses the window's partitioning; the fold "
+            "avoids materializing islands (no second keyed shuffle).",
+            e.queries()["temporal_coverage"](spark, SF),
+        ),
+        (
             "sequence_pack (single-shuffle packing)",
             "Claim: exactly ONE exchange (the pack_group hash partition) "
             "feeding one Arrow-batched FlatMapGroupsInPandas; group "

@@ -26,17 +26,20 @@ from pyspark.sql import functions as F
 from ..operators.grouping import collection_extents, merge_extent_summaries
 
 
-def run_extent_maintenance(
+def run_increment_maintenance(
     spark: SparkSession,
     src_path: str,
     store,
-    keys: list[str],
-    stage: str = "extent_increments",
+    increment_fn,
+    stage: str,
     max_files: int = 1,
 ) -> None:
-    """Drive the assigned-asset stream to completion, committing one extent
-    increment per micro-batch epoch. The stream schema is inferred from the
-    staged parquet (production passes an explicit schema/Kafka source)."""
+    """Generic exactly-once streaming maintenance: reduce each micro-batch to
+    a DIMENSION-SIZED increment (``increment_fn(batch_df) -> DataFrame``) and
+    commit it to the SnapshotStore under its epoch. Works for any state whose
+    read-side merge is algebraic over increments (extents: sum/min/max; HLL
+    registers: max). The stream schema is inferred from the staged parquet
+    (production passes an explicit schema/Kafka source)."""
     schema = spark.read.parquet(src_path).schema
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -50,9 +53,8 @@ def run_extent_maintenance(
             > 0
         ):
             return  # epoch replayed after a successful commit: no-op
-        inc = collection_extents(batch_df, list(keys))
         store.write_stage(
-            inc.withColumn("part_key", F.lit(int(epoch_id))),
+            increment_fn(batch_df).withColumn("part_key", F.lit(int(epoch_id))),
             stage,
             "part_key",
             snapshot_note=f"epoch={epoch_id}",
@@ -70,6 +72,26 @@ def run_extent_maintenance(
         q.stop()
 
 
+def run_extent_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    keys: list[str],
+    stage: str = "extent_increments",
+    max_files: int = 1,
+) -> None:
+    """Drive the assigned-asset stream to completion, committing one extent
+    increment per micro-batch epoch."""
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: collection_extents(batch, list(keys)),
+        stage,
+        max_files,
+    )
+
+
 def current_extents(
     spark: SparkSession, store, keys: list[str], stage: str = "extent_increments"
 ) -> DataFrame:
@@ -78,3 +100,45 @@ def current_extents(
     this is a cheap read-side aggregate, never a history rescan)."""
     incs = store.read_stage(spark, stage).drop("part_key")
     return merge_extent_summaries(list(keys), incs)
+
+
+def run_hll_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    group_cols: list[str],
+    key_col: str,
+    stage: str = "hll_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming cardinality maintenance: each micro-batch reduces to its HLL
+    register table (at most m rows per group — operators/sketches) committed
+    under its epoch. max() is idempotent as well as associative/commutative,
+    so beyond never double-COUNTING, a replayed increment cannot even skew
+    the merge if it somehow landed twice — strictly stronger replay-safety
+    than the sum-bearing extent increments."""
+    from ..operators.sketches import hll_registers
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: hll_registers(batch, list(group_cols), key_col),
+        stage,
+        max_files,
+    )
+
+
+def current_hll(
+    spark: SparkSession,
+    store,
+    group_cols: list[str],
+    stage: str = "hll_increments",
+) -> DataFrame:
+    """Live cardinality estimates: register-wise max over all committed
+    epoch increments, then the standard estimate — bit-equal to sketching
+    the full history from scratch (tests/test_streaming.py asserts it)."""
+    from ..operators.sketches import hll_estimate, hll_merge
+
+    regs = store.read_stage(spark, stage).drop("part_key")
+    return hll_estimate(hll_merge(regs, list(group_cols)), list(group_cols))

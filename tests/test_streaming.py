@@ -164,3 +164,36 @@ def test_streaming_extent_maintenance_equals_batch(spark, tmp_path):
     sx.run_extent_maintenance(spark, src, store, keys)
     assert len(store.snapshots("extent_increments")) == n_snaps
     assert canon(sx.current_extents(spark, store, keys)) == batch
+
+
+def test_streaming_hll_maintenance_equals_batch(spark, tmp_path):
+    """Streaming cardinality maintenance: per-epoch HLL register increments
+    max-merged at read time must equal the from-scratch batch sketch EXACTLY
+    (registers are integers — no tolerance), and a full stream replay is a
+    no-op (idempotent max + epoch lineage)."""
+    import __spark_entry__ as e
+    from stac_catalog_builder_spark.operators.sketches import hll_distinct
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    assigned = e._assigned(spark, "/root/testdata/sf0.001").select(
+        "collection_id", "phash"
+    )
+    src = str(tmp_path / "assigned_hll_stream")
+    assigned.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_hll_maintenance(spark, src, store, ["collection_id"], "phash")
+    assert len(store.snapshots("hll_increments")) >= 2  # multi-epoch run
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    live = canon(sx.current_hll(spark, store, ["collection_id"]))
+    batch = canon(hll_distinct(spark.read.parquet(src), ["collection_id"], "phash"))
+    assert live == batch and len(live) > 0
+
+    n_snaps = len(store.snapshots("hll_increments"))
+    sx.run_hll_maintenance(spark, src, store, ["collection_id"], "phash")
+    assert len(store.snapshots("hll_increments")) == n_snaps
+    assert canon(sx.current_hll(spark, store, ["collection_id"])) == batch
