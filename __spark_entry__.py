@@ -1211,6 +1211,19 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(hll_merge(regs_fine, ["collection_id"]), ["collection_id"])
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays quadkey assembly +
+    prefix rollup in DuckDB value-exactly; tests/test_cells.py pins the
+    ancestor-is-prefix property vs a Python reference): multi-resolution
+    tile density pyramid — per-tile image counts at zoom 8 with zooms 6 and
+    4 folded from the zoom-8 aggregate by quadkey prefix truncation. ONE
+    fact-table shuffle regardless of pyramid depth
+    (operators/tiling.py::tile_pyramid)."""
+    from stac_catalog_builder_spark.operators.tiling import tile_pyramid
+
+    return tile_pyramid(_images_fp(spark, sf_dir), base_zoom=8, levels=[6, 4])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "temporal_coverage": q_temporal_coverage,
         "hll_distinct": q_hll_distinct,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 

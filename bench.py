@@ -106,6 +106,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "sequence_pack",
         "temporal_coverage",
         "hll_distinct",
+        "tile_pyramid",
     ]
     qs = e.queries()
     for name in bench_queries:

@@ -46,6 +46,68 @@ def with_tile(df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "la
     )
 
 
+def quadkey_col(x: Column, y: Column, zoom: int) -> Column:
+    """Bing-style quadkey string of tile (x, y) at ``zoom``: one base-4 digit
+    per level, MSB first (digit = x_bit + 2*y_bit). Pure codegen — an
+    unrolled concat of ``zoom`` integer digit expressions, no UDF.
+
+    The property that matters at scale: the quadkey of a tile's ancestor at
+    zoom z' < z is EXACTLY the first z' characters, so pyramid rollups and
+    coarse-to-fine containment joins become string-prefix operations on an
+    already-aggregated tile table instead of repeated fact-table shuffles,
+    and a quadkey-sorted layout range-scans any subtree."""
+    digits = [
+        (
+            F.shiftright(x, i).bitwiseAND(F.lit(1))
+            + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(2)
+        ).cast("string")
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def tile_pyramid(
+    df: DataFrame, base_zoom: int, levels: list[int], lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Multi-resolution tile density pyramid: (zoom, quadkey, n_images) for
+    ``base_zoom`` and every coarser zoom in ``levels``.
+
+    The fact table shuffles ONCE — the count aggregate at ``base_zoom``
+    (bounded by the tile count, with map-side partial combine). Every
+    coarser level folds from that dimension-sized aggregate by quadkey
+    prefix truncation + sum, so adding pyramid levels costs tile-table
+    aggregates only, never another pass over the data. (The reference has
+    no pyramid; its closest shape is the per-year rollup of collection
+    extents, builder.py:575-612.)
+    """
+    if any(lv >= base_zoom or lv < 1 for lv in levels):
+        raise ValueError(f"levels must be in [1, {base_zoom - 1}]: {levels}")
+    base = (
+        with_tile(df, base_zoom, lon_col, lat_col)
+        .select(quadkey_col(F.col("tile_x"), F.col("tile_y"), base_zoom).alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.lit(base_zoom).alias("zoom"), "quadkey", "n_images")
+        # every pyramid level reads this dimension-sized aggregate; without
+        # the (lazy) checkpoint each union branch re-plans the whole fact
+        # scan + shuffle (measured: 3 scans, 5 exchanges at 2 levels —
+        # exchange reuse does not fire across union branches under AQE)
+        .localCheckpoint(eager=False)
+    )
+    out = base
+    for lv in sorted(set(levels), reverse=True):
+        coarser = (
+            base.select(
+                F.substring("quadkey", 1, lv).alias("quadkey"), "n_images"
+            )
+            .groupBy("quadkey")
+            .agg(F.sum("n_images").alias("n_images"))
+            .select(F.lit(lv).alias("zoom"), "quadkey", "n_images")
+        )
+        out = out.unionByName(coarser)
+    return out
+
+
 def tile_cover(df: DataFrame, zoom: int) -> DataFrame:
     """All tiles a *footprint rectangle* (fp_w/s/e/n) overlaps: generates the
     (image, tile) assignment rows via a bounded sequence-explode — stays

@@ -1271,3 +1271,38 @@ SELECT collection_id, s_scaled, v_zero,
             THEN {linear} ELSE {harmonic} END AS est_e3
 FROM state
 """
+
+
+def _quadkey_sql(x: str, y: str, zoom: int) -> str:
+    """Unrolled quadkey concat mirroring operators/tiling.py::quadkey_col."""
+    digits = [
+        f"CAST((({x} >> {i}) & 1) + (({y} >> {i}) & 1) * 2 AS VARCHAR)"
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return " || ".join(digits)
+
+
+def sql_tile_pyramid(base_zoom: int = 8, levels: tuple[int, ...] = (6, 4)) -> str:
+    """Replay of q_tile_pyramid: zoom-N tile counts plus coarser levels
+    folded by quadkey prefix truncation — integer/string-exact."""
+    coarser = "\nUNION ALL\n".join(
+        f"""SELECT {lv} AS zoom, substr(quadkey, 1, {lv}) AS quadkey,
+       CAST(SUM(n_images) AS BIGINT) AS n_images
+FROM base GROUP BY substr(quadkey, 1, {lv})"""
+        for lv in sorted(set(levels), reverse=True)
+    )
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+tiles AS (
+  SELECT {_tile_x_sql(base_zoom)} AS tile_x, {_tile_y_sql(base_zoom)} AS tile_y
+  FROM fp),
+base AS (
+  SELECT {base_zoom} AS zoom,
+         {_quadkey_sql("tile_x", "tile_y", base_zoom)} AS quadkey,
+         CAST(COUNT(*) AS BIGINT) AS n_images
+  FROM tiles
+  GROUP BY 2)
+SELECT zoom, quadkey, n_images FROM base
+UNION ALL
+{coarser}
+"""

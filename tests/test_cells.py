@@ -123,3 +123,51 @@ def test_s2_distinct_faces():
     lat = np.array([0.0, 0.0, 89.9, 0.0, 0.0, -89.9])
     cells = s2_cell_np(lon, lat, 0)
     assert len(set(cells.tolist())) == 6
+
+
+# --- quadkey / tile pyramid -------------------------------------------------
+
+def _quadkey_py(x: int, y: int, zoom: int) -> str:
+    return "".join(
+        str(((x >> i) & 1) + 2 * ((y >> i) & 1)) for i in range(zoom - 1, -1, -1)
+    )
+
+
+def test_quadkey_matches_reference_and_prefix_property(spark):
+    from pyspark.sql import functions as F
+    from stac_catalog_builder_spark.operators.tiling import quadkey_col
+
+    rows = [(x, y) for x in (0, 1, 5, 37, 255) for y in (0, 2, 9, 101, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y",
+        quadkey_col(F.col("x"), F.col("y"), 8).alias("qk8"),
+        quadkey_col(F.shiftright("x", 2), F.shiftright("y", 2), 6).alias("qk6"),
+    ).collect()
+    for r in got:
+        assert r["qk8"] == _quadkey_py(r["x"], r["y"], 8)
+        # the zoom-6 ancestor's quadkey is EXACTLY the first 6 characters
+        assert r["qk6"] == r["qk8"][:6]
+
+
+def test_tile_pyramid_levels_consistent_and_single_fact_pass(spark):
+    """Each coarser level must be the exact prefix-fold of the base level,
+    totals conserved; and after the base checkpoint materializes, the final
+    plan touches no parquet and only tile-table exchanges remain."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    df = e.q_tile_pyramid(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    pdf = df.toPandas()
+    base = pdf[pdf.zoom == 8]
+    n_total = base.n_images.sum()
+    for lv in (6, 4):
+        level = pdf[pdf.zoom == lv].set_index("quadkey")["n_images"]
+        fold = base.groupby(base.quadkey.str[:lv])["n_images"].sum()
+        assert level.sort_index().equals(fold.sort_index())
+        assert level.sum() == n_total

@@ -641,3 +641,9 @@ def test_hll_distinct_vs_duckdb(spark, con):
     for c in ln_cols:
         diff = (got[c].astype("float") - want[c].astype("float")).abs()
         assert diff.max() <= 1, (c, diff.max())
+
+
+def test_tile_pyramid_exact_vs_duckdb(spark, con):
+    """Quadkey assembly (bit-interleave concat) + prefix rollup replayed in
+    DuckDB — integer/string-exact at every pyramid level."""
+    _assert_parity(e.q_tile_pyramid(spark, SF), con, oracles.sql_tile_pyramid())
