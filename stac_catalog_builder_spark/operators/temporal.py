@@ -76,6 +76,7 @@ def interval_coverage(
     key_cols: list[str],
     start_col: str = "start_s",
     end_col: str = "end_s",
+    time_bucket: int | None = None,
 ) -> DataFrame:
     """Per-key union of time intervals (gaps-and-islands) in ONE window pass.
 
@@ -107,7 +108,29 @@ def interval_coverage(
     Touching intervals (start == previous end) are contiguous, not a gap.
     Output: key_cols..., n_intervals, n_islands, coverage_s, max_gap_s
     (0 when a key has a single island), t_min_s, t_max_s.
+
+    **Skew at scale**: the bare-key window sorts each key's intervals in ONE
+    task — a hot collection (this corpus: 33% of rows in one tile) becomes a
+    straggler at 100 TB. Pass ``time_bucket`` (seconds; choose it well above
+    the typical interval span) to switch to the EXACT two-phase
+    decomposition: intervals are clipped to time buckets (bounded
+    ``sequence``-explode, like tile_cover), the same fold runs per
+    (key, bucket) — so the window partition count scales with the data and
+    no task sorts more than a bucket's worth — and bucket summaries are
+    stitched with one dimension-sized lag window: islands merge across a
+    junction iff the next bucket's first covered point equals the previous
+    bucket's last covered point (clipping makes any other overlap
+    impossible), junction gaps come from the same two absolute coordinates,
+    and a spanning interval contributes one full-bucket piece per bucket so
+    chains stitch transitively. ``tests/test_temporal.py`` proves the two
+    paths return IDENTICAL rows on random + pathological inputs (boundary
+    touches, spanning intervals, zero-length, duplicates).
+    Requires ``end >= start`` per row in bucketed mode.
     """
+    if time_bucket is not None:
+        return _interval_coverage_bucketed(
+            df, key_cols, start_col, end_col, int(time_bucket)
+        )
     start, end = F.col(start_col), F.col(end_col)
     w = (
         Window.partitionBy(*key_cols)
@@ -135,4 +158,106 @@ def interval_coverage(
         F.coalesce(F.max("_gap"), F.lit(0)).alias("max_gap_s"),
         F.min("_s").alias("t_min_s"),
         F.max("_e").alias("t_max_s"),
+    )
+
+
+def _interval_coverage_bucketed(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    w: int,
+) -> DataFrame:
+    """Exact bucketed rewrite of interval_coverage (see its docstring).
+
+    Phase 1: clip each interval to the time buckets it touches (an interval
+    ending exactly on a boundary leaves a zero-length piece in the next
+    bucket — deliberately: that piece carries the touching-is-contiguous
+    junction information) and run the running-max fold per (key, bucket).
+    Phase 2: one lag window over the per-bucket summaries (dimension-sized:
+    keys x touched buckets) merges islands / extracts gaps at junctions.
+    All arithmetic is exact int64; floor-division of possibly-negative
+    timestamps goes through pmod so both phases agree on bucket indices.
+    """
+    if w <= 0:
+        raise ValueError(f"time_bucket must be positive: {w}")
+    start, end = F.col(start_col), F.col(end_col)
+
+    def fdiv(c):
+        # exact floor division for any-sign int64: (c - pmod(c, w)) is a
+        # multiple of w, so the SQL integer `div` is exact
+        return F.expr(f"({c} - pmod({c}, {w})) div {w}")
+
+    pieces = (
+        df.select(
+            *key_cols,
+            start.alias("_os"),
+            end.alias("_oe"),
+            F.explode(
+                F.sequence(fdiv(start_col), F.greatest(fdiv(end_col), fdiv(start_col)))
+            ).alias("_b"),
+        )
+        .select(
+            *key_cols,
+            "_b",
+            F.greatest(F.col("_os"), F.col("_b") * F.lit(w)).alias("_s"),
+            F.least(F.col("_oe"), (F.col("_b") + 1) * F.lit(w)).alias("_e"),
+            (F.greatest(F.col("_os"), F.col("_b") * F.lit(w)) == F.col("_os"))
+            .cast("int")
+            .alias("_first"),
+        )
+    )
+    wb = (
+        Window.partitionBy(*key_cols, "_b")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.col("_e")).over(wb)
+    new_island = prev_max.isNull() | (F.col("_s") > prev_max)
+    folded = pieces.select(
+        *key_cols,
+        "_b",
+        "_s",
+        "_e",
+        "_first",
+        new_island.cast("int").alias("_new"),
+        F.when(
+            prev_max.isNotNull() & (F.col("_s") > prev_max), F.col("_s") - prev_max
+        ).alias("_gap"),
+        F.greatest(
+            F.lit(0), F.col("_e") - F.greatest(F.col("_s"), F.coalesce(prev_max, F.col("_s")))
+        ).alias("_cov"),
+    )
+    per_bucket = folded.groupBy(*key_cols, "_b").agg(
+        F.sum("_first").cast("bigint").alias("_n_first"),
+        F.sum("_new").cast("bigint").alias("_isl"),
+        F.sum("_cov").alias("_cov"),
+        F.max("_gap").alias("_gap_in"),
+        F.min("_s").alias("_min_s"),
+        F.max("_e").alias("_max_e"),
+    )
+    wj = Window.partitionBy(*key_cols).orderBy("_b")
+    prev_e = F.lag("_max_e").over(wj)
+    junct = per_bucket.select(
+        *key_cols,
+        "_n_first",
+        "_isl",
+        "_cov",
+        "_gap_in",
+        "_min_s",
+        "_max_e",
+        (prev_e.isNotNull() & (F.col("_min_s") == prev_e)).cast("int").alias("_merge_j"),
+        F.when(
+            prev_e.isNotNull() & (F.col("_min_s") > prev_e), F.col("_min_s") - prev_e
+        ).alias("_gap_j"),
+    )
+    return junct.groupBy(*key_cols).agg(
+        F.sum("_n_first").alias("n_intervals"),
+        (F.sum("_isl") - F.sum("_merge_j")).cast("bigint").alias("n_islands"),
+        F.sum("_cov").alias("coverage_s"),
+        F.coalesce(F.greatest(F.max("_gap_in"), F.max("_gap_j")), F.lit(0)).alias(
+            "max_gap_s"
+        ),
+        F.min("_min_s").alias("t_min_s"),
+        F.max("_max_e").alias("t_max_s"),
     )

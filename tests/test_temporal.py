@@ -141,3 +141,48 @@ def test_interval_coverage_single_shuffle(spark):
     # the window and the final aggregate partition on the same key: ONE
     # exchange serves both (the aggregate reuses the window's partitioning)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_interval_coverage_bucketed_exact_rewrite(spark):
+    """The time-bucketed two-phase decomposition must return IDENTICAL rows
+    to the single-window path — across bucket widths that land boundaries
+    inside, between, and exactly on interval edges — on data with boundary
+    touches, bucket-spanning intervals, duplicates, and zero-length rows."""
+    rng = np.random.default_rng(77)
+    rows = []
+    for k in range(5):
+        n = int(rng.integers(5, 50))
+        starts = rng.integers(0, 5_000, size=n)
+        durs = rng.integers(0, 700, size=n)  # 0 => zero-length intervals
+        ivs = [(int(s), int(s + d)) for s, d in zip(starts, durs)]
+        ivs.append(ivs[0])  # duplicate
+        ivs.append((1000, 1000))  # zero-length exactly on a 100/250 boundary
+        ivs.append((900, 1000))  # ends exactly on a boundary
+        ivs.append((1000, 1100))  # starts exactly there (touching chain)
+        ivs.append((1200, 3700))  # spans many buckets
+        rows += [(f"k{k}", s, e) for s, e in ivs]
+    df = spark.createDataFrame(rows, "key string, start_s long, end_s long")
+
+    def canon(res):
+        return sorted(tuple(r) for r in res.select(
+            "key", "n_intervals", "n_islands", "coverage_s",
+            "max_gap_s", "t_min_s", "t_max_s",
+        ).collect())
+
+    plain = canon(interval_coverage(df, ["key"]))
+    for w in (100, 250, 1024, 10_000):
+        assert canon(interval_coverage(df, ["key"], time_bucket=w)) == plain, w
+
+
+def test_interval_coverage_bucketed_negative_timestamps(spark):
+    """pmod-based floor division must keep bucket indices consistent for
+    pre-epoch (negative) timestamps."""
+    df = spark.createDataFrame(
+        [("a", -250, -100), ("a", -100, -50), ("a", 50, 120)],
+        "key string, start_s long, end_s long",
+    )
+    plain = interval_coverage(df, ["key"]).collect()
+    bucketed = interval_coverage(df, ["key"], time_bucket=100).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, bucketed))
+    [r] = bucketed
+    assert (r["n_islands"], r["coverage_s"], r["max_gap_s"]) == (2, 270, 100)
