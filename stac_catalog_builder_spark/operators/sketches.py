@@ -101,7 +101,11 @@ def hll_registers(df: DataFrame, group_cols: list[str], key_col: str) -> DataFra
         F.lit(RHO_MAX) - F.length(F.bin(a))
     )
     return (
-        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        # NULL keys are excluded, matching COUNT(DISTINCT) semantics — left
+        # in, a NULL-register row would inflate n_present while contributing
+        # nothing to s_present, silently biasing the estimate upward
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("register"))
     )

@@ -185,8 +185,9 @@ def _interval_coverage_bucketed(
 
     def fdiv(c):
         # exact floor division for any-sign int64: (c - pmod(c, w)) is a
-        # multiple of w, so the SQL integer `div` is exact
-        return F.expr(f"({c} - pmod({c}, {w})) div {w}")
+        # multiple of w, so the SQL integer `div` is exact; backticks keep
+        # the column-name contract identical to the F.col-based plain path
+        return F.expr(f"(`{c}` - pmod(`{c}`, {w})) div {w}")
 
     pieces = (
         df.select(

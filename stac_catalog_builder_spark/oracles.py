@@ -14,7 +14,15 @@ milli/micro-degree BIGINTs via ``FLOOR(x*scale + 0.5)`` (identical doubles in
 
 from __future__ import annotations
 
-from .operators.sketches import HARMONIC_NUM as HLL_HARMONIC_NUM
+from .operators.sketches import (
+    FMIX_C1 as HLL_FMIX_C1,
+    FMIX_C2 as HLL_FMIX_C2,
+    HARMONIC_NUM as HLL_HARMONIC_NUM,
+    M32 as HLL_M32,
+    M_REG as HLL_M_REG,
+    RHO_MAX as HLL_RHO_MAX,
+    SCALE_BITS as HLL_SCALE_BITS,
+)
 from .synth import (
     GRID_DLAT,
     GRID_DLON,
@@ -1213,13 +1221,13 @@ def _fmix32_sql(inp: str, tag: str) -> str:
     """SELECT-list fragment computing murmur3 fmix32 of ``inp`` into alias
     ``tag`` via DuckDB lateral column references; constants split at 16 bits
     exactly as operators/sketches.py::_mul32 does."""
-    c1l, c1h = 0x85EBCA6B & 0xFFFF, 0x85EBCA6B >> 16
-    c2l, c2h = 0xC2B2AE35 & 0xFFFF, 0xC2B2AE35 >> 16
+    c1l, c1h = HLL_FMIX_C1 & 0xFFFF, HLL_FMIX_C1 >> 16
+    c2l, c2h = HLL_FMIX_C2 & 0xFFFF, HLL_FMIX_C2 >> 16
     return f"""
     xor({inp}, {inp} >> 16) AS {tag}_x1,
-    ({tag}_x1 * {c1l} + (({tag}_x1 * {c1h}) % 65536) * 65536) % 4294967296 AS {tag}_x2,
+    ({tag}_x1 * {c1l} + (({tag}_x1 * {c1h}) % 65536) * 65536) % {HLL_M32} AS {tag}_x2,
     xor({tag}_x2, {tag}_x2 >> 13) AS {tag}_x3,
-    ({tag}_x3 * {c2l} + (({tag}_x3 * {c2h}) % 65536) * 65536) % 4294967296 AS {tag}_x4,
+    ({tag}_x3 * {c2l} + (({tag}_x3 * {c2h}) % 65536) * 65536) % {HLL_M32} AS {tag}_x4,
     xor({tag}_x4, {tag}_x4 >> 16) AS {tag}"""
 
 
@@ -1234,21 +1242,26 @@ def sql_hll_distinct() -> str:
     harmonic = (
         f"CAST(FLOOR(1000.0 * {HLL_HARMONIC_NUM!r} / s_scaled) AS BIGINT)"
     )
-    linear = "CAST(FLOOR(4096000.0 * ln(4096.0 / v_zero)) AS BIGINT)"
+    linear = (
+        f"CAST(FLOOR({1000.0 * HLL_M_REG!r} * ln({float(HLL_M_REG)!r} / v_zero))"
+        " AS BIGINT)"
+    )
+    m, rho, p2 = HLL_M_REG, HLL_RHO_MAX, 12  # p2: P_BITS, bucket = low 12 bits
+    linear_gate = int(2.5 * HLL_M_REG * 1000)
     return f"""
 WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
 {ASSIGNED_CTE.strip()},
 hashed AS (
   SELECT collection_id, tile_id,
-    phash % 4294967296 AS lo,
+    phash % {HLL_M32} AS lo,
     phash >> 32 AS hi,{_fmix32_sql("lo", "a")},
     xor(hi, a) AS bx,{_fmix32_sql("bx", "b")}
   FROM assigned),
 regs_fine AS (
-  SELECT collection_id, tile_id, b % 4096 AS bucket,
-         MAX(CASE WHEN a = 0 THEN 33 ELSE 33 - length(bin(a)) END) AS register
+  SELECT collection_id, tile_id, b % {m} AS bucket,
+         MAX(CASE WHEN a = 0 THEN {rho} ELSE {rho} - length(bin(a)) END) AS register
   FROM hashed
-  GROUP BY collection_id, tile_id, b % 4096),
+  GROUP BY collection_id, tile_id, b % {m}),
 regs AS (
   SELECT collection_id, bucket, MAX(register) AS register
   FROM regs_fine
@@ -1256,18 +1269,18 @@ regs AS (
 est AS (
   SELECT collection_id,
          CAST(COUNT(*) AS BIGINT) AS n_present,
-         CAST(SUM(1::BIGINT << (33 - register)) AS BIGINT) AS s_present
+         CAST(SUM(1::BIGINT << ({HLL_SCALE_BITS} - register)) AS BIGINT) AS s_present
   FROM regs
   GROUP BY collection_id),
 state AS (
   SELECT collection_id,
-         s_present + (4096 - n_present) * (1::BIGINT << 33) AS s_scaled,
-         4096 - n_present AS v_zero
+         s_present + ({m} - n_present) * (1::BIGINT << {HLL_SCALE_BITS}) AS s_scaled,
+         {m} - n_present AS v_zero
   FROM est)
 SELECT collection_id, s_scaled, v_zero,
        {harmonic} AS est_harmonic_e3,
        CASE WHEN v_zero > 0 THEN {linear} END AS est_linear_e3,
-       CASE WHEN v_zero > 0 AND {harmonic} <= 10240000
+       CASE WHEN v_zero > 0 AND {harmonic} <= {linear_gate}
             THEN {linear} ELSE {harmonic} END AS est_e3
 FROM state
 """
