@@ -54,6 +54,15 @@ def _packing_plan(spark):
     return pack_sequences(chunks, budget=256, n_groups=8)
 
 
+def _pyramid_plan(spark):
+    # materialize the noop write first so the lazy base checkpoint exists and
+    # the dumped plan is the one later jobs actually see (tests/test_cells.py
+    # asserts the same shape)
+    df = e.queries()["tile_pyramid"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
 def main() -> None:
     spark = get_spark(app="dump-plans", master="local[4]", shuffle_partitions=8)
     from stac_catalog_builder_spark.operators.spatial_join import (
@@ -143,6 +152,17 @@ def main() -> None:
             "collection -> estimate): three register-bounded exchanges; "
             "the direct single-group path uses two.",
             e.queries()["hll_distinct"](spark, SF),
+        ),
+        (
+            "tile_pyramid (prefix-fold rollup off one fact pass)",
+            "Claim: after the base tile aggregate (one scan + one exchange, "
+            "materialized once via lazy localCheckpoint), every coarser "
+            "zoom is a substring+sum over the dimension-sized tile table — "
+            "the final plan contains NO parquet scan and only tile-table "
+            "exchanges. (The checkpoint exists because exchange reuse does "
+            "not fire across union branches: without it, 3 scans / 5 "
+            "exchanges at 2 extra levels.)",
+            _pyramid_plan(spark),
         ),
         (
             "temporal_coverage (one-shuffle gaps-and-islands)",
