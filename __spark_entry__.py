@@ -1224,6 +1224,21 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid(_images_fp(spark, sf_dir), base_zoom=8, levels=[6, 4])
 
 
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the quadtree cover
+    in DuckDB value-exactly; tests/test_cover.py proves the cover expands
+    back to EXACTLY the flat res-7 cell set, disjoint and minimal): compact
+    multi-resolution cell cover of every boundary polygon — the S2
+    RegionCoverer shape that keeps a continental polygon's join-key
+    dimension at O(perimeter) instead of O(area)
+    (operators/cover.py::compact_cover)."""
+    from stac_catalog_builder_spark.operators.cover import compact_cover
+
+    return compact_cover(
+        synth.boundaries(spark, sf_dir), res=7, min_res=3, keys=["tile_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1314,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_coverage": q_temporal_coverage,
         "hll_distinct": q_hll_distinct,
         "tile_pyramid": q_tile_pyramid,
+        "compact_cover": q_compact_cover,
     }
 
 

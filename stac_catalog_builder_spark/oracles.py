@@ -1319,3 +1319,41 @@ SELECT zoom, quadkey, n_images FROM base
 UNION ALL
 {coarser}
 """
+
+
+def sql_compact_cover(res: int = 7, min_res: int = 3) -> str:
+    """Replay of q_compact_cover: the quadtree compact cover of each
+    boundary bbox — integer ceil/floor-division containment at every level,
+    correlated generate_series explodes, parent-not-contained filter —
+    bit-exact (all arithmetic on non-negative int64)."""
+    nx, ny = 2 ** (res + 1), 2**res
+    return f"""
+WITH {BOUNDARIES_CTE.strip()},
+rect AS (
+  SELECT tile_id,
+    CAST(LEAST(GREATEST(FLOOR((bbox_w + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS gx0,
+    CAST(LEAST(GREATEST(FLOOR((bbox_e + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS gx1,
+    CAST(LEAST(GREATEST(FLOOR((bbox_s + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS gy0,
+    CAST(LEAST(GREATEST(FLOOR((bbox_n + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS gy1
+  FROM boundaries),
+levels AS (
+  SELECT rect.*, r.res, (1::BIGINT << ({res} - r.res)) AS b
+  FROM rect, (SELECT unnest(generate_series({min_res}, {res})) AS res) r),
+rng AS (
+  SELECT tile_id, res,
+         (gx0 + b - 1) // b AS cx0, (gx1 + 1) // b - 1 AS cx1,
+         (gy0 + b - 1) // b AS cy0, (gy1 + 1) // b - 1 AS cy1,
+         (gx0 + 2 * b - 1) // (2 * b) AS pcx0, (gx1 + 1) // (2 * b) - 1 AS pcx1,
+         (gy0 + 2 * b - 1) // (2 * b) AS pcy0, (gy1 + 1) // (2 * b) - 1 AS pcy1
+  FROM levels),
+cells AS (
+  SELECT tile_id, res, pcx0, pcx1, pcy0, pcy1, tx.gx AS gx, ty.gy AS gy
+  FROM rng,
+       UNNEST(generate_series(cx0, cx1)) AS tx(gx),
+       UNNEST(generate_series(cy0, cy1)) AS ty(gy))
+SELECT tile_id, res, gx, gy,
+       res * 4294967296 + gx * 65536 + gy AS cell
+FROM cells
+WHERE res = {min_res}
+   OR NOT (gx // 2 BETWEEN pcx0 AND pcx1 AND gy // 2 BETWEEN pcy0 AND pcy1)
+"""

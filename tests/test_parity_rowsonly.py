@@ -647,3 +647,9 @@ def test_tile_pyramid_exact_vs_duckdb(spark, con):
     """Quadkey assembly (bit-interleave concat) + prefix rollup replayed in
     DuckDB — integer/string-exact at every pyramid level."""
     _assert_parity(e.q_tile_pyramid(spark, SF), con, oracles.sql_tile_pyramid())
+
+
+def test_compact_cover_exact_vs_duckdb(spark, con):
+    """The quadtree compact cover (integer containment divisions, correlated
+    explodes, parent-not-contained filter) replayed in DuckDB bit-exactly."""
+    _assert_parity(e.q_compact_cover(spark, SF), con, oracles.sql_compact_cover())
