@@ -178,6 +178,20 @@ def run_benchmark(
     return timings, extras
 
 
+def box_probe_sec() -> float:
+    """Single-thread host-health probe: one numpy transcendental pass over
+    20M doubles — ~0.4s when this box is healthy. BENCH/BASELINE.md
+    documents hour-long hypervisor windows where this reads 4-33s while the
+    guest sees 0% steal / 99.9% idle and every Spark wall inflates 3-7x;
+    embedding the reading makes a degraded-window record self-describing."""
+    import numpy as np
+
+    x = np.arange(1, 20_000_000, dtype=np.float64)
+    t0 = time.time()
+    np.sqrt(np.sin(x) ** 2 + np.cos(x) ** 2)
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -187,6 +201,7 @@ def main() -> None:
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    probe_before = box_probe_sec()
     spark = get_spark(
         app="scb-bench", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
@@ -195,6 +210,9 @@ def main() -> None:
     timings, extras = run_benchmark(spark, args.sf_dir, passes=args.passes)
     total = round(time.time() - t0, 3)
     spark.stop()
+    extras["box_probe_sec_before"] = probe_before
+    extras["box_probe_sec_after"] = box_probe_sec()
+    extras["box_probe_healthy_ref"] = 0.4
 
     print(
         json.dumps(
