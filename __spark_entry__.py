@@ -1239,6 +1239,29 @@ def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the WHOLE pipeline —
+    LSH candidates, Jaccard verify, connected components, then the split
+    scramble keyed on group_id — in DuckDB value-exactly; tests/test_sampling
+    proves one split per group): leakage-safe train/val/test assignment —
+    every near-duplicate GROUP lands in one split, because the hash key is
+    the component id from dedup_groups, not the row id. Row-independent
+    splitting would put a doc in train and its near-twin in test — the
+    contamination dedup exists to prevent
+    (operators/sampling.py::leakage_safe_split)."""
+    from stac_catalog_builder_spark.operators.graph import dedup_groups
+    from stac_catalog_builder_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    groups = dedup_groups(corpus, jaccard_threshold=0.8)
+    return leakage_safe_split(
+        corpus, groups, key_col="doc_id", group_col="group_id", salt=7
+    ).select("doc_id", "group_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1330,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "tile_pyramid": q_tile_pyramid,
         "compact_cover": q_compact_cover,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 

@@ -92,6 +92,43 @@ def dataset_split(
     return df.withColumn(out_col, out)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    key_col: str = "doc_id",
+    group_col: str = "group_id",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware deterministic split: every member of a duplicate GROUP
+    lands in the SAME split, because the hash key is the group id, not the
+    row key. Splitting rows independently leaks near-duplicates across
+    train/test — exactly the contamination the dedup pipeline exists to
+    prevent (``graph.dedup_groups``'s ``group_id`` output is this input).
+    Rows absent from ``groups`` fall back to their own key (singleton
+    semantics, consistent with dedup_groups labeling every doc).
+
+    One equi-join on the key — inherent, the label must attach — then the
+    same shuffle-free integer-threshold expression as ``dataset_split``.
+    Output: df columns + ``group_col`` (NULL for ungrouped rows) +
+    ``out_col``.
+    """
+    if group_col in df.columns:
+        raise ValueError(f"df already has a '{group_col}' column")
+    labeled = df.join(
+        groups.select(key_col, group_col).dropDuplicates([key_col]),
+        key_col,
+        "left",
+    )
+    keyed = labeled.withColumn(
+        "_split_key", F.coalesce(F.col(group_col), F.col(key_col))
+    )
+    return dataset_split(
+        keyed, key_col="_split_key", weights=weights, salt=salt, out_col=out_col
+    ).drop("_split_key")
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float] | float,

@@ -431,20 +431,12 @@ SELECT id_a, id_b FROM star
     assert out.count() > n_docs
 
 
-def test_dedup_groups_exact_vs_duckdb(spark, con):
-    """THE flagship text-dedup pipeline (q_dedup_groups) replayed end to end:
-    minhash LSH candidates (the shared CTE chain) -> exact whitespace-token
-    Jaccard verification at >= 0.8 (the same IEEE double division on both
-    sides) -> connected components on the verified rep graph (recursive-CTE
-    min-label propagation to the fixpoint) -> star members adopt their
-    representative's component -> (doc_id, group_id, is_kept). Matching the
-    engine certifies candidates, verification, the large-star/small-star CC
-    rounds, AND the star-contraction soundness argument (reps are group
-    minima, so component minima survive contraction) in one comparison."""
-    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
-
-    sql = f"""
-WITH RECURSIVE {_minhash_cte_chain().strip()},
+def _dedup_groups_ctes() -> str:
+    """CTE chain replaying graph.dedup_groups end to end (LSH candidates ->
+    Jaccard verify -> recursive-CTE connected components -> star members
+    adopt their representative's component), through ``all_lab``; shared by
+    the dedup_groups and leakage_safe_split parity tests."""
+    return f"""{_minhash_cte_chain().strip()},
 tokset AS (
   SELECT rep AS doc_id, list_distinct(string_split(text, ' ')) AS tk FROM grp
 ),
@@ -474,7 +466,23 @@ memb AS (
   SELECT s.id_b AS node, COALESCE(c.component, s.id_a) AS component
   FROM star s LEFT JOIN comp c ON c.node = s.id_a
 ),
-all_lab AS (SELECT * FROM comp UNION ALL SELECT * FROM memb)
+all_lab AS (SELECT * FROM comp UNION ALL SELECT * FROM memb)"""
+
+
+def test_dedup_groups_exact_vs_duckdb(spark, con):
+    """THE flagship text-dedup pipeline (q_dedup_groups) replayed end to end:
+    minhash LSH candidates (the shared CTE chain) -> exact whitespace-token
+    Jaccard verification at >= 0.8 (the same IEEE double division on both
+    sides) -> connected components on the verified rep graph (recursive-CTE
+    min-label propagation to the fixpoint) -> star members adopt their
+    representative's component -> (doc_id, group_id, is_kept). Matching the
+    engine certifies candidates, verification, the large-star/small-star CC
+    rounds, AND the star-contraction soundness argument (reps are group
+    minima, so component minima survive contraction) in one comparison."""
+    from stac_catalog_builder_spark.operators.dedup import SALT_METRICS
+
+    sql = f"""
+WITH RECURSIVE {_dedup_groups_ctes().strip()}
 SELECT cp.doc_id,
        COALESCE(al.component, cp.doc_id) AS group_id,
        COALESCE(al.component, cp.doc_id) = cp.doc_id AS is_kept
@@ -653,3 +661,33 @@ def test_compact_cover_exact_vs_duckdb(spark, con):
     """The quadtree compact cover (integer containment divisions, correlated
     explodes, parent-not-contained filter) replayed in DuckDB bit-exactly."""
     _assert_parity(e.q_compact_cover(spark, SF), con, oracles.sql_compact_cover())
+
+
+def test_leakage_safe_split_exact_vs_duckdb(spark, con):
+    """The full leakage-safe pipeline — dedup grouping AND the split
+    scramble keyed on group_id — replayed in DuckDB value-exactly: proves
+    the split hashes the component label, not the row id."""
+    from stac_catalog_builder_spark.operators.sampling import _MIX, _MOD, _SCRAMBLE
+
+    t_train, t_val = int(0.8 * _MOD), int(0.9 * _MOD)
+    sql = f"""
+WITH RECURSIVE {_dedup_groups_ctes().strip()},
+gsel AS (
+  SELECT cp.doc_id, COALESCE(al.component, cp.doc_id) AS group_id
+  FROM corpus cp LEFT JOIN all_lab al ON al.node = cp.doc_id
+),
+s0 AS (
+  SELECT doc_id, group_id,
+         ((xor(group_id >> 31, group_id) % {_MOD}) + {_MOD}) % {_MOD} AS k
+  FROM gsel
+),
+s1 AS (SELECT doc_id, group_id, ((k + 7) * {_SCRAMBLE}) % {_MOD} AS b FROM s0),
+s2 AS (SELECT doc_id, group_id, (xor(b, b >> 16) * {_MIX}) % {_MOD} AS b FROM s1),
+s3 AS (SELECT doc_id, group_id, xor(b, b >> 13) AS b FROM s2)
+SELECT doc_id, group_id,
+       CASE WHEN b < {t_train} THEN 'train'
+            WHEN b < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM s3
+"""
+    _assert_parity(e.q_leakage_safe_split(spark, SF), con, sql)

@@ -164,3 +164,44 @@ def test_deterministic_shuffle_is_reproducible_permutation(spark, docs):
     assert "rangepartitioning" not in plan
     with pytest.raises(ValueError, match="power of two"):
         deterministic_shuffle(docs, "doc_id", n_blocks=48)
+
+
+def test_leakage_safe_split_one_split_per_group(spark):
+    """Every duplicate group must land in exactly one split; in the doubled
+    corpus each doc and its +1e6 twin must share a split (the leak a
+    row-keyed split would create)."""
+    import __spark_entry__ as e
+
+    out = e.q_leakage_safe_split(spark, SF)
+    per_group = out.groupBy("group_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.where("n_splits > 1").count() == 0
+    twins = (
+        out.alias("a")
+        .join(
+            out.select(
+                (F.col("doc_id") - 1000000).alias("doc_id"),
+                F.col("split").alias("twin_split"),
+            ).alias("b"),
+            "doc_id",
+        )
+    )
+    assert twins.count() > 0
+    assert twins.where("split != twin_split").count() == 0
+
+
+def test_leakage_safe_split_falls_back_to_row_key(spark, docs):
+    """Rows absent from the groups table split by their own key — identical
+    to dataset_split on the same salt."""
+    from stac_catalog_builder_spark.operators.sampling import leakage_safe_split
+
+    empty_groups = docs.select(
+        F.col("doc_id"), F.lit(None).cast("bigint").alias("group_id")
+    ).where(F.lit(False))
+    a = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, empty_groups, salt=7).collect()
+    }
+    b = {r.doc_id: r.split for r in dataset_split(docs, "doc_id", salt=7).collect()}
+    assert a == b
