@@ -145,6 +145,31 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
             assert n_pending == 0, n_pending
 
         timed("resume", resume)
+
+        # training-delivery sink: pack a bounded slice into WebDataset tar
+        # shards (payload encode included — the realistic cost); fresh dir
+        # per pass so every pass measures a cold sink
+        from stac_catalog_builder_spark.operators.multimodal import (
+            with_encoded_bytes,
+        )
+        from stac_catalog_builder_spark.sources.shards import (
+            write_webdataset_shards,
+        )
+
+        wds_src = with_encoded_bytes(
+            synth.images(spark, sf_dir).where(F.col("img_key") < 4000)
+        )
+
+        def write_shards():
+            man = write_webdataset_shards(
+                wds_src,
+                f"{tmp}/wds_{time.time_ns()}",
+                n_shards=32,
+                meta_cols=["caption", "fmt", "w", "h"],
+            ).collect()
+            assert sum(m["n_members"] for m in man) > 0
+
+        timed("write_shards", write_shards)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, extras
