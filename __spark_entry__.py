@@ -1262,6 +1262,128 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "group_id", "split")
 
 
+def q_best_scene_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the selection as a
+    ROW_NUMBER window in DuckDB value-exactly): per-tile best-scene
+    mosaicking — prefer scenes under the cloud threshold, then lowest
+    cloud, then most recent, unique-id tiebreak. The engine computes it as
+    ONE min_by aggregate (map-side combine; only per-tile partials shuffle
+    — a window formulation would shuffle every candidate row)
+    (operators/mosaic.py::best_scene_mosaic)."""
+    from stac_catalog_builder_spark.operators.mosaic import best_scene_mosaic
+
+    scored = _assigned(spark, sf_dir).withColumn(
+        "cloud", (F.col("h1") % 101).cast("int")
+    )
+    return best_scene_mosaic(
+        scored,
+        keys=["tile_id", "collection_id"],
+        quality_col="cloud",
+        time_col="datetime",
+        id_col="image_id",
+        clear_threshold=20,
+    )
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only; VALUE-EXACT in pytest (oracles.sql_geohash_cells replays
+    the unrolled shift/mask encode bit-for-bit): geohash cell ids at two
+    precisions — completes the cell-encoder family (grid / hex / s2 /
+    quadkey / geohash). The precision-3 id is exactly the precision-5
+    prefix (pinned in tests), so rollups are prefix truncations
+    (functions/cells.py::geohash_col)."""
+    from stac_catalog_builder_spark.functions.cells import geohash_col
+
+    df = _images_fp(spark, sf_dir)
+    return df.select(
+        "image_id",
+        geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+        geohash_col(F.col("lon"), F.col("lat"), 3).alias("gh3"),
+    )
+
+
+def q_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the full-outer-join
+    diff in DuckDB value-exactly): snapshot delta between two catalog
+    versions — added / removed / changed item rows, the distributed form of
+    the reference's per-item GET-then-upsert probe (stacapi/endpoints.py).
+    Output feeds sources/catalog.py::upsert_items_bulk directly
+    (operators/diff.py::snapshot_diff)."""
+    from stac_catalog_builder_spark.operators.diff import snapshot_diff
+
+    imgs = synth.images(spark, sf_dir).select(
+        "img_key", "image_id", "fmt", "caption", "w", "h"
+    )
+    old = imgs.where(F.col("img_key") % 19 != 3)
+    new = imgs.where(F.col("img_key") % 17 != 5).withColumn(
+        "fmt",
+        F.when(F.col("img_key") % 13 == 0, F.lit("webp")).otherwise(F.col("fmt")),
+    )
+    return snapshot_diff(
+        old.drop("img_key"),
+        new.drop("img_key"),
+        keys=["image_id"],
+        compare_cols=["fmt", "caption", "w", "h"],
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays counts -> sqrt
+    rates -> bucket filter end to end in DuckDB value-exactly, doubles
+    included): alpha=0.5 temperature rebalancing over skewed domains —
+    rates derived FROM the data (rarest domain keeps all), per-row keep
+    decision is the shuffle-free deterministic hash filter
+    (operators/sampling.py::temperature_sample)."""
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    dom = (
+        F.when(F.col("img_key") % 2 == 1, F.lit("d0"))
+        .when(F.col("img_key") % 4 == 2, F.lit("d1"))
+        .when(F.col("img_key") % 8 == 4, F.lit("d2"))
+        .otherwise(F.lit("d3"))
+    )
+    df = synth.images(spark, sf_dir).select("img_key").withColumn("domain", dom)
+    kept = temperature_sample(df, "domain", key_col="img_key", alpha=0.5, salt=11)
+    totals = df.groupBy("domain").agg(F.count(F.lit(1)).alias("n_total"))
+    summary = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("sample_rate").alias("sample_rate"),
+    )
+    return totals.join(summary, "domain", "left").select(
+        "domain",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "sample_rate",
+    )
+
+
+ASPECT_BUCKETS = [
+    ("16:9", 320, 180),
+    ("1:1", 256, 256),
+    ("3:2", 300, 200),
+    ("4:3", 288, 216),
+    ("9:16", 180, 320),
+]
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays bucket argmin +
+    per-bucket ROW_NUMBER in DuckDB value-exactly): aspect-ratio bucketed
+    batch layout — each image goes to its closest-ratio bucket (map-side
+    least() over a literal dim, integer cross-product distance), batches
+    are laid out per bucket via the deterministic_shuffle block
+    decomposition (no single-task-per-bucket window)
+    (operators/packing.py::aspect_bucket_batches)."""
+    from stac_catalog_builder_spark.operators.packing import aspect_bucket_batches
+
+    imgs = synth.images(spark, sf_dir).select("img_key", "image_id", "w", "h")
+    return aspect_bucket_batches(
+        imgs, ASPECT_BUCKETS, batch_size=32, key_col="img_key", salt=3
+    ).select(
+        "image_id", "bucket_id", "bucket_w", "bucket_h", "batch_idx", "pos_in_batch"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1354,6 +1476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "compact_cover": q_compact_cover,
         "leakage_safe_split": q_leakage_safe_split,
+        "best_scene_mosaic": q_best_scene_mosaic,
+        "geohash_cells": q_geohash_cells,
+        "catalog_diff": q_catalog_diff,
+        "temperature_sample": q_temperature_sample,
+        "aspect_buckets": q_aspect_buckets,
     }
 
 

@@ -317,3 +317,71 @@ def s2_cell_udf(level: int):
         return pd.Series(s2_cell_np(lon.to_numpy(), lat.to_numpy(), level))
 
     return _enc
+
+
+# ---------------------------------------------------------------------------
+# Geohash (base-32 interleaved lat/lon; mirrored in oracles.py SQL)
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_idx_bits(precision: int) -> tuple[int, int]:
+    total = 5 * precision
+    return (total + 1) // 2, total // 2  # lon leads the interleave
+
+
+def geohash_col(lon: Column, lat: Column, precision: int) -> Column:
+    """Geohash string of ``precision`` characters as a pure codegen column.
+
+    The classic public-domain geocode (Niemeyer 2008): lon/lat are binary-
+    subdivided and bit-interleaved (lon first), 5 bits per base-32 char.
+    Like the quadkey, a geohash PREFIX is exactly the containing coarser
+    cell, so prefix-truncation rollups and prefix-range scans work on an
+    aggregated geohash table with no further fact shuffles. Implementation:
+    the subdivision bits are just the binary expansion of
+    ``floor((lon+180)/360 * 2^nbits)``, so the whole encode is two integer
+    projections + an unrolled shift/mask concat — no UDF, no loop at row
+    scope, bit-exactly replayable in any SQL engine (oracles.sql_geohash).
+    """
+    if not (1 <= precision <= 12):
+        raise ValueError(f"precision must be in [1, 12]: {precision}")
+    lon_bits, lat_bits = _geohash_idx_bits(precision)
+    nx, ny = 2**lon_bits, 2**lat_bits
+    xi = F.least(
+        F.greatest(F.floor((lon + 180.0) / 360.0 * nx), F.lit(0)), F.lit(nx - 1)
+    ).cast("bigint")
+    yi = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * ny), F.lit(0)), F.lit(ny - 1)
+    ).cast("bigint")
+    chars = []
+    for c in range(precision):
+        val = F.lit(0)
+        for t in range(5):
+            j = 5 * c + t  # interleaved bit position, MSB first
+            src, bits = (xi, lon_bits) if j % 2 == 0 else (yi, lat_bits)
+            val = val + F.shiftright(src, bits - 1 - j // 2).bitwiseAND(
+                F.lit(1)
+            ) * F.lit(1 << (4 - t))
+        chars.append(F.substr(F.lit(GEOHASH32), (val + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_np(lon: np.ndarray, lat: np.ndarray, precision: int) -> np.ndarray:
+    """Numpy twin of ``geohash_col`` (pytest oracle)."""
+    lon_bits, lat_bits = _geohash_idx_bits(precision)
+    nx, ny = 2**lon_bits, 2**lat_bits
+    xi = np.clip(np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64), 0, nx - 1)
+    yi = np.clip(np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64), 0, ny - 1)
+    out = []
+    for x, y in zip(xi, yi):
+        s = []
+        for c in range(precision):
+            val = 0
+            for t in range(5):
+                j = 5 * c + t
+                src, bits = (x, lon_bits) if j % 2 == 0 else (y, lat_bits)
+                val = (val << 1) | ((int(src) >> (bits - 1 - j // 2)) & 1)
+            s.append(GEOHASH32[val])
+        out.append("".join(s))
+    return np.array(out, dtype=object)

@@ -140,3 +140,110 @@ def pack_sequences(
     # pack_group is an internal routing key (already encoded in context_id's
     # "{group}_{bin}" prefix) — not part of the documented output contract
     return packed.drop("pack_group")
+
+
+def aspect_bucket_batches(
+    images: DataFrame,
+    buckets: list[tuple[str, int, int]],
+    batch_size: int,
+    key_col: str = "img_key",
+    w_col: str = "w",
+    h_col: str = "h",
+    salt: int = 0,
+    n_blocks: int = 1024,
+    drop_incomplete: bool = True,
+) -> DataFrame:
+    """Aspect-ratio bucketed batching: assign every image to the bucket
+    whose target aspect ratio is closest to its own, then lay out
+    fixed-size training batches inside each bucket in a deterministic,
+    partitioning-independent order — the standard variable-aspect
+    diffusion-training input layout (each batch is resized to ONE target
+    shape, so batches must be homogeneous by bucket).
+
+    Bucket assignment is map-side only: ``buckets`` is a literal dimension
+    (a dozen rows), and the argmin folds into a single ``least()`` over
+    ordering structs — distance is the ratio ``max(w*bh, bw*h) /
+    min(w*bh, bw*h)`` (>= 1, scale-free, computed from INTEGER cross
+    products so the only float op is one exact-rounded division; equal
+    distances tie-break on bucket id). No join, no shuffle, no logs.
+
+    Batch layout reuses the ``deterministic_shuffle`` block decomposition,
+    partitioned by bucket: the key scramble's high bits split each bucket
+    into ``n_blocks`` contiguous rank ranges, one dimension-sized aggregate
+    counts (bucket, block) cells, a cumsum over that tiny table yields
+    block offsets, and each row's in-bucket rank is offset + its rank
+    within the block. ONE fact-table shuffle on (bucket, block) — a plain
+    ``row_number() OVER (PARTITION BY bucket)`` would serialize each bucket
+    through a single task, which at 10^12 images with ~10 buckets is
+    exactly the skew this avoids. ``batch_idx = rank div batch_size``;
+    the ragged final batch per bucket is dropped when ``drop_incomplete``
+    (its size is known from the same count table — no extra job).
+
+    Output: input columns + ``bucket_id``, ``bucket_w``, ``bucket_h``,
+    ``batch_idx``, ``pos_in_batch``. Exactly SQL-replayable (rank ==
+    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY scramble, key) - 1;
+    pinned value-exact vs DuckDB in tests/test_parity_rowsonly.py).
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1: {batch_size}")
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    if n_blocks < 1 or n_blocks & (n_blocks - 1):
+        raise ValueError(f"n_blocks must be a power of two: {n_blocks}")
+    from pyspark.sql import Window
+
+    w = F.col(w_col).cast("bigint")
+    h = F.col(h_col).cast("bigint")
+    cands = []
+    for bid, bw, bh in buckets:
+        a = w * F.lit(int(bh))
+        b = F.lit(int(bw)) * h
+        dist = F.greatest(a, b).cast("double") / F.least(a, b).cast("double")
+        cands.append(
+            F.struct(
+                dist.alias("d"),
+                F.lit(str(bid)).alias("i"),
+                F.lit(int(bw)).alias("w"),
+                F.lit(int(bh)).alias("h"),
+            )
+        )
+    best = F.least(*cands) if len(cands) > 1 else cands[0]
+    assigned = images.withColumn("_ab", best).select(
+        "*",
+        F.col("_ab.i").alias("bucket_id"),
+        F.col("_ab.w").alias("bucket_w"),
+        F.col("_ab.h").alias("bucket_h"),
+    ).drop("_ab")
+
+    shift = 31 - (n_blocks.bit_length() - 1)
+    keyed = assigned.withColumn("_sb", _bucket(F.col(key_col), salt)).withColumn(
+        "_blk", F.shiftright(F.col("_sb"), shift)
+    )
+    sizes = keyed.groupBy("bucket_id", "_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    cum = (
+        Window.partitionBy("bucket_id")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("bucket_id")
+    offsets = sizes.select(
+        "bucket_id",
+        "_blk",
+        F.coalesce(F.sum("_bn").over(cum), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(tot).alias("_btotal"),
+    )
+    rank_w = Window.partitionBy("bucket_id", "_blk").orderBy("_sb", key_col)
+    ranked = keyed.join(F.broadcast(offsets), ["bucket_id", "_blk"]).withColumn(
+        "_rank",
+        (F.row_number().over(rank_w).cast("bigint") - 1) + F.col("_off"),
+    )
+    if drop_incomplete:
+        keep_lt = F.expr(f"_btotal div {int(batch_size)}") * F.lit(int(batch_size))
+        ranked = ranked.where(F.col("_rank") < keep_lt)
+    return ranked.select(
+        *[c for c in assigned.columns],
+        F.expr(f"_rank div {int(batch_size)}").alias("batch_idx"),
+        F.pmod(F.col("_rank"), F.lit(int(batch_size))).cast("int").alias(
+            "pos_in_batch"
+        ),
+    )

@@ -227,6 +227,58 @@ def weighted_mixture(
     return out
 
 
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: int = 0,
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: downsample each domain so the
+    kept mass follows ``n_d^alpha`` instead of ``n_d`` — the multilingual /
+    multi-source temperature sampling rule (alpha=1 keeps the natural
+    distribution, alpha=0 equalizes domains). Per-row keep rate is
+    ``r_d = (n_min / n_d)^(1 - alpha)`` with ``n_min`` the smallest domain
+    count, so the rarest domain keeps everything and larger domains are
+    flattened toward it; rates are derived FROM the data (one aggregate),
+    not hand-configured like ``weighted_mixture``.
+
+    Scale shape: one map-side-combined ``groupBy(domain).count()`` (output
+    is domain-dimension-sized), rates computed on that dim table (the
+    ``n_min`` scalar joins back via a single-row broadcast, never a driver
+    collect), one broadcast join to attach ``rate_col``, then the same
+    shuffle-free deterministic ``_bucket`` filter as ``stratified_sample``.
+    The fact table is scanned once and never shuffled.
+
+    Exactness: ``alpha=0.5`` evaluates the rate as ``sqrt(n_min / n_d)`` —
+    int64 division then sqrt, both IEEE correctly-rounded, so the kept set
+    is bit-identical in any engine (the DuckDB parity test replays it);
+    other alphas go through ``pow`` (platform-dependent last bit,
+    documented, still deterministic within one engine).
+    """
+    if not (0.0 <= float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_nd"))
+    nmin = counts.agg(F.min("_nd").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_nd").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if float(alpha) == 0.5
+        else F.pow(ratio, F.lit(1.0 - float(alpha)))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        domain_col, rate.alias(rate_col)
+    )
+    keyed = df.join(F.broadcast(rates), domain_col)
+    # threshold compare in the double domain: rate * 2^31 is exact-rounded
+    # and identical across engines for identical rate doubles
+    return keyed.where(
+        _bucket(F.col(key_col), salt).cast("double")
+        < F.col(rate_col) * F.lit(float(_MOD))
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

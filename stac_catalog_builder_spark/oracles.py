@@ -1357,3 +1357,175 @@ FROM cells
 WHERE res = {min_res}
    OR NOT (gx // 2 BETWEEN pcx0 AND pcx1 AND gy // 2 BETWEEN pcy0 AND pcy1)
 """
+
+
+# --- round-5 continuation: mosaic / geohash / diff / temperature / aspect ---
+
+
+def sql_best_scene_mosaic(clear_threshold: int = 20) -> str:
+    """ROW_NUMBER formulation of operators.mosaic.best_scene_mosaic — same
+    total order (over-threshold flag, cloud asc, datetime desc, unique id),
+    different physical plan (the engine uses a min_by aggregate)."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {BOUNDARIES_CTE.strip()},
+{ASSIGNED_CTE.strip()},
+scored AS (SELECT *, CAST(h1 % 101 AS INT) AS cloud FROM assigned),
+ranked AS (
+  SELECT tile_id, collection_id, image_id, cloud, datetime,
+    ROW_NUMBER() OVER (
+      PARTITION BY tile_id, collection_id
+      ORDER BY CASE WHEN cloud > {clear_threshold} THEN 1 ELSE 0 END,
+               cloud, datetime DESC, image_id) AS rn,
+    COUNT(*) OVER (PARTITION BY tile_id, collection_id) AS n_candidates,
+    SUM(CASE WHEN cloud <= {clear_threshold} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY tile_id, collection_id) AS n_clear,
+    MIN(cloud) OVER (PARTITION BY tile_id, collection_id) AS min_cloud
+  FROM scored)
+SELECT tile_id, collection_id, image_id AS best_image_id, cloud AS best_cloud,
+       datetime AS best_datetime, n_candidates,
+       CAST(n_clear AS BIGINT) AS n_clear, min_cloud
+FROM ranked WHERE rn = 1
+"""
+
+
+def _geohash_sql(precision: int, lon: str = "lon", lat: str = "lat") -> str:
+    """The same unrolled shift/mask geohash as functions.cells.geohash_col."""
+    total = 5 * precision
+    lon_bits, lat_bits = (total + 1) // 2, total // 2
+    nx, ny = 2**lon_bits, 2**lat_bits
+    xi = (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {nx}), 0),"
+        f" {nx - 1}) AS BIGINT)"
+    )
+    yi = (
+        f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0) / 180.0 * {ny}), 0),"
+        f" {ny - 1}) AS BIGINT)"
+    )
+    chars = []
+    for c in range(precision):
+        terms = []
+        for t in range(5):
+            j = 5 * c + t
+            src, bits = (xi, lon_bits) if j % 2 == 0 else (yi, lat_bits)
+            terms.append(f"(({src} >> {bits - 1 - j // 2}) & 1) * {1 << (4 - t)}")
+        val = " + ".join(terms)
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST({val} AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+def sql_geohash_cells() -> str:
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}
+SELECT image_id,
+       {_geohash_sql(5)} AS gh5,
+       {_geohash_sql(3)} AS gh3
+FROM fp
+"""
+
+
+def sql_catalog_diff() -> str:
+    """Full-outer-join snapshot diff replay (operators.diff.snapshot_diff)."""
+    return f"""
+WITH {IMAGES_CTE.strip()},
+old AS (
+  SELECT image_id, fmt, caption, w, h FROM images WHERE img_key % 19 <> 3),
+new AS (
+  SELECT image_id,
+         CASE WHEN img_key % 13 = 0 THEN 'webp' ELSE fmt END AS fmt,
+         caption, w, h
+  FROM images WHERE img_key % 17 <> 5)
+SELECT COALESCE(n.image_id, o.image_id) AS image_id,
+       CASE WHEN o.image_id IS NULL THEN 'added'
+            WHEN n.image_id IS NULL THEN 'removed'
+            WHEN NOT (o.fmt IS NOT DISTINCT FROM n.fmt
+                  AND o.caption IS NOT DISTINCT FROM n.caption
+                  AND o.w IS NOT DISTINCT FROM n.w
+                  AND o.h IS NOT DISTINCT FROM n.h) THEN 'changed'
+       END AS change_type,
+       n.fmt AS fmt, n.caption AS caption, n.w AS w, n.h AS h
+FROM old o FULL OUTER JOIN new n ON o.image_id = n.image_id
+WHERE CASE WHEN o.image_id IS NULL THEN 'added'
+           WHEN n.image_id IS NULL THEN 'removed'
+           WHEN NOT (o.fmt IS NOT DISTINCT FROM n.fmt
+                 AND o.caption IS NOT DISTINCT FROM n.caption
+                 AND o.w IS NOT DISTINCT FROM n.w
+                 AND o.h IS NOT DISTINCT FROM n.h) THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+def _bucket31_sql(key: str, salt: int) -> str:
+    """operators.sampling._bucket replayed as one scalar expression (the key
+    is assumed a non-negative BIGINT; string keys are Spark-side only)."""
+    from .operators.sampling import _MIX, _MOD, _SCRAMBLE
+
+    k = f"(((xor(({key}) >> 31, ({key})) % {_MOD}) + {_MOD}) % {_MOD})"
+    b1 = f"((({k}) + {int(salt) % _MOD}) * {_SCRAMBLE}) % {_MOD}"
+    b2 = f"(xor(({b1}), ({b1}) >> 16) * {_MIX}) % {_MOD}"
+    return f"xor(({b2}), ({b2}) >> 13)"
+
+
+def sql_temperature_sample(salt: int = 11) -> str:
+    """alpha=0.5 temperature resampling replay: rate = sqrt(n_min / n_d)
+    (int64 division + sqrt, both IEEE correctly-rounded -> engine-exact)."""
+    from .operators.sampling import _MOD
+
+    dom = (
+        "CASE WHEN img_key % 2 = 1 THEN 'd0'"
+        " WHEN img_key % 4 = 2 THEN 'd1'"
+        " WHEN img_key % 8 = 4 THEN 'd2' ELSE 'd3' END"
+    )
+    return f"""
+WITH {IMAGES_CTE.strip()},
+doms AS (SELECT img_key, {dom} AS domain FROM images),
+counts AS (SELECT domain, COUNT(*) AS n_total FROM doms GROUP BY domain),
+rates AS (
+  SELECT domain, n_total,
+         SQRT((SELECT MIN(n_total) FROM counts) * 1.0 / n_total) AS sample_rate
+  FROM counts),
+kept AS (
+  SELECT d.domain
+  FROM doms d JOIN rates r ON d.domain = r.domain
+  WHERE ({_bucket31_sql('d.img_key', salt)}) * 1.0 < r.sample_rate * {float(_MOD)})
+SELECT r.domain, r.n_total,
+       COALESCE(k.n_kept, 0) AS n_kept, r.sample_rate
+FROM rates r
+LEFT JOIN (SELECT domain, COUNT(*) AS n_kept FROM kept GROUP BY domain) k
+  ON r.domain = k.domain
+"""
+
+
+def sql_aspect_buckets(
+    buckets: list[tuple[str, int, int]], batch_size: int, salt: int
+) -> str:
+    """Aspect-bucket batching replay: argmin over the bucket dim by the
+    integer-cross-product ratio distance, then ROW_NUMBER per bucket over
+    (scramble, key) — the block decomposition in the engine reconstructs
+    exactly this total order (same proof shape as deterministic_shuffle)."""
+    rows = ", ".join(f"('{b}', {w}, {h})" for b, w, h in buckets)
+    return f"""
+WITH {IMAGES_CTE.strip()},
+buckets (bucket_id, bucket_w, bucket_h) AS (VALUES {rows}),
+dists AS (
+  SELECT i.img_key, i.image_id, i.w, i.h, b.bucket_id, b.bucket_w, b.bucket_h,
+    GREATEST(i.w * b.bucket_h, b.bucket_w * i.h) * 1.0
+      / LEAST(i.w * b.bucket_h, b.bucket_w * i.h) AS dist,
+    ROW_NUMBER() OVER (PARTITION BY i.img_key ORDER BY
+      GREATEST(i.w * b.bucket_h, b.bucket_w * i.h) * 1.0
+        / LEAST(i.w * b.bucket_h, b.bucket_w * i.h), b.bucket_id) AS brn
+  FROM images i CROSS JOIN buckets b),
+assigned AS (SELECT * FROM dists WHERE brn = 1),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket_id
+      ORDER BY ({_bucket31_sql('img_key', salt)}), img_key) - 1 AS rk,
+    COUNT(*) OVER (PARTITION BY bucket_id) AS btotal
+  FROM assigned)
+SELECT image_id, bucket_id, bucket_w, bucket_h,
+       rk // {int(batch_size)} AS batch_idx,
+       CAST(rk % {int(batch_size)} AS INT) AS pos_in_batch
+FROM ranked
+WHERE rk < (btotal // {int(batch_size)}) * {int(batch_size)}
+"""

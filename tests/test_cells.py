@@ -171,3 +171,74 @@ def test_tile_pyramid_levels_consistent_and_single_fact_pass(spark):
         fold = base.groupby(base.quadkey.str[:lv])["n_images"].sum()
         assert level.sort_index().equals(fold.sort_index())
         assert level.sum() == n_total
+
+
+# --- geohash ---------------------------------------------------------------
+
+
+def _geohash_py(lon: float, lat: float, precision: int) -> str:
+    """Textbook bit-subdivision geohash (independent of the engine's
+    closed-form integer encode)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo = [-180.0, -90.0]
+    hi = [180.0, 90.0]
+    bits = []
+    dim = 0  # lon first
+    while len(bits) < 5 * precision:
+        mid = (lo[dim] + hi[dim]) / 2
+        v = lon if dim == 0 else lat
+        if v >= mid:
+            bits.append(1)
+            lo[dim] = mid
+        else:
+            bits.append(0)
+            hi[dim] = mid
+        dim ^= 1
+    return "".join(
+        alphabet[int("".join(map(str, bits[i : i + 5])), 2)]
+        for i in range(0, len(bits), 5)
+    )
+
+
+def test_geohash_known_value(spark):
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.functions.cells import geohash_col
+
+    # the canonical public example: (42.605, -5.603) -> ezs42
+    df = spark.createDataFrame([(-5.603, 42.605)], "lon double, lat double")
+    got = df.select(geohash_col(F.col("lon"), F.col("lat"), 5).alias("g")).collect()
+    assert got[0]["g"] == "ezs42"
+
+
+def test_geohash_matches_subdivision_reference_and_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.functions.cells import geohash_col, geohash_np
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    df = spark.createDataFrame(
+        list(zip(lon.tolist(), lat.tolist())), "lon double, lat double"
+    )
+    got = [
+        r["g"]
+        for r in df.select(
+            geohash_col(F.col("lon"), F.col("lat"), 7).alias("g")
+        ).collect()
+    ]
+    want_np = geohash_np(lon, lat, 7)
+    for g, n, lo, la in zip(got, want_np, lon, lat):
+        assert g == n == _geohash_py(lo, la, 7)
+
+
+def test_geohash_prefix_property(spark):
+    """The precision-p ancestor is EXACTLY the first p characters — same
+    rollup contract as the quadkey pyramid."""
+    import __spark_entry__ as e
+
+    df = e.q_geohash_cells(spark, "/root/testdata/sf0.001")
+    bad = df.where("substr(gh5, 1, 3) <> gh3").count()
+    assert bad == 0

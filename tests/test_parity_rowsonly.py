@@ -691,3 +691,44 @@ SELECT doc_id, group_id,
 FROM s3
 """
     _assert_parity(e.q_leakage_safe_split(spark, SF), con, sql)
+
+
+def test_best_scene_mosaic_exact_vs_duckdb(spark, con):
+    """min_by-aggregate scene selection vs a ROW_NUMBER window replay —
+    equality certifies the packed ordering struct reproduces the exact
+    (clear-flag, cloud, recency, id) total order."""
+    _assert_parity(
+        e.q_best_scene_mosaic(spark, SF), con, oracles.sql_best_scene_mosaic()
+    )
+
+
+def test_geohash_cells_exact_vs_duckdb(spark, con):
+    """The unrolled shift/mask geohash encode replayed bit-for-bit."""
+    _assert_parity(e.q_geohash_cells(spark, SF), con, oracles.sql_geohash_cells())
+
+
+def test_catalog_diff_exact_vs_duckdb(spark, con):
+    """Full-outer-join snapshot diff (added/removed/changed, null-safe
+    compares) replayed end to end."""
+    _assert_parity(e.q_catalog_diff(spark, SF), con, oracles.sql_catalog_diff())
+
+
+def test_temperature_sample_exact_vs_duckdb(spark, con):
+    """counts -> sqrt(n_min/n_d) rates -> 31-bit scramble threshold, all
+    replayed — including the DOUBLE sample_rate column (int64 division and
+    sqrt are IEEE correctly-rounded in both engines)."""
+    _assert_parity(
+        e.q_temperature_sample(spark, SF), con, oracles.sql_temperature_sample(salt=11)
+    )
+
+
+def test_aspect_buckets_exact_vs_duckdb(spark, con):
+    """Bucket argmin (integer cross-product distance) + per-bucket batch
+    layout vs ROW_NUMBER — equality proves the block decomposition
+    reconstructs the exact in-bucket total order AND that least()-over-
+    structs matches the (dist, bucket_id) ordering."""
+    _assert_parity(
+        e.q_aspect_buckets(spark, SF),
+        con,
+        oracles.sql_aspect_buckets(e.ASPECT_BUCKETS, batch_size=32, salt=3),
+    )

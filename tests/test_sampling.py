@@ -205,3 +205,81 @@ def test_leakage_safe_split_falls_back_to_row_key(spark, docs):
     }
     b = {r.doc_id: r.split for r in dataset_split(docs, "doc_id", salt=7).collect()}
     assert a == b
+
+
+# --- temperature_sample ----------------------------------------------------
+
+
+def _skewed_domains(spark, n=4000):
+    from pyspark.sql import functions as F
+
+    dom = (
+        F.when(F.col("id") % 2 == 1, F.lit("d0"))
+        .when(F.col("id") % 4 == 2, F.lit("d1"))
+        .when(F.col("id") % 8 == 4, F.lit("d2"))
+        .otherwise(F.lit("d3"))
+    )
+    return spark.range(n).withColumn("domain", dom)
+
+
+def test_temperature_alpha1_keeps_everything(spark):
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    df = _skewed_domains(spark)
+    kept = temperature_sample(df, "domain", key_col="id", alpha=1.0, salt=5)
+    # alpha=1 -> rate = (nmin/nd)^0 = 1.0 exactly for every domain
+    assert kept.count() == df.count()
+
+
+def test_temperature_alpha0_equalizes_and_rarest_keeps_all(spark):
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    df = _skewed_domains(spark, 8000)
+    totals = {r["domain"]: r["n"] for r in
+              df.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    nmin = min(totals.values())
+    kept = temperature_sample(df, "domain", key_col="id", alpha=0.0, salt=5)
+    ks = {r["domain"]: r["n"] for r in
+          kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    # rarest domain keeps every row (rate exactly 1.0)
+    rare = min(totals, key=totals.get)
+    assert ks[rare] == totals[rare]
+    # every other domain is flattened to ~nmin (hash variance ~ sqrt)
+    for d, n in ks.items():
+        assert abs(n - nmin) <= 5 * (nmin ** 0.5), (d, n, nmin)
+
+
+def test_temperature_alpha_half_between_and_deterministic(spark):
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    df = _skewed_domains(spark, 8000)
+    a = temperature_sample(df, "domain", key_col="id", alpha=0.5, salt=5)
+    b = temperature_sample(
+        df.repartition(13), "domain", key_col="id", alpha=0.5, salt=5
+    )
+    ka = sorted(r["id"] for r in a.select("id").collect())
+    kb = sorted(r["id"] for r in b.select("id").collect())
+    assert ka == kb  # partitioning-independent keep set
+
+
+def test_temperature_invalid_alpha_raises(spark):
+    import pytest
+
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    with pytest.raises(ValueError):
+        temperature_sample(_skewed_domains(spark), "domain", key_col="id", alpha=1.5)
+
+
+def test_temperature_plan_fact_side_never_shuffles_for_the_filter(spark):
+    """The fact table shuffles once for the counts aggregate (partials only);
+    the rate attach is a broadcast join, never a fact exchange."""
+    from stac_catalog_builder_spark.operators.sampling import temperature_sample
+
+    df = _skewed_domains(spark)
+    kept = temperature_sample(df, "domain", key_col="id", alpha=0.5, salt=5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
