@@ -1384,6 +1384,21 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_footprint_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the grid bucketing,
+    canonical-cell dedup and integer IoU end to end in DuckDB value-exactly;
+    tests/test_overlap.py proves EXACT equality with a brute-force all-pairs
+    numpy oracle): near-duplicate scenes by footprint IoU >= 50% — bboxes
+    quantized to an exact integer micro lattice, candidates from a grid-cell
+    self equi-join, each pair reported once from the cell holding the
+    intersection's SW corner (no distinct pass). Pairs feed the same
+    connected-components grouping as the text/phash dedup
+    (operators/overlap.py::footprint_iou_pairs)."""
+    from stac_catalog_builder_spark.operators.overlap import footprint_iou_pairs
+
+    return footprint_iou_pairs(_images_fp(spark, sf_dir), min_iou_pct=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1481,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_diff": q_catalog_diff,
         "temperature_sample": q_temperature_sample,
         "aspect_buckets": q_aspect_buckets,
+        "footprint_iou": q_footprint_iou,
     }
 
 

@@ -178,3 +178,112 @@ def hll_distinct(
     """One-shot estimate: registers -> estimate, single shuffle pair whose
     exchanged rows are bounded by m per group per input partition."""
     return hll_estimate(hll_registers(df, group_cols, key_col), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency statistics (the sum-merge sibling of
+# the HLL's max-merge). The reference has no frequency surface at all — it
+# logs per-10,000-item progress counts (stacbuilder/builder.py:733) and
+# nothing else; the catalogue question "which scenes / perceptual hashes
+# recur most, and roughly how often?" needs per-key counts over 10^12 rows,
+# where an exact groupBy on the raw key shuffles every distinct key. The CMS
+# register table is d x w cells regardless of input size: partial-aggregated
+# map-side, summed across batches/partitions/days, and point-queried with a
+# guaranteed one-sided error (est >= true; est <= true + eps*N w.h.p. —
+# Cormode & Muthukrishnan, J.Alg 2005).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # lanes (delta = e^-d ~ 1.8%)
+CMS_W = 2048  # buckets per lane (eps = e/w ~ 0.13% of total mass)
+# lane seeds: arbitrary distinct 32-bit odd constants (golden ratio, murmur3
+# finalizer constants, splitmix64 increment low word)
+CMS_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x7F4A7C15)
+
+
+def cms_lane_bucket(key: Column, seed: int, w: int = CMS_W) -> Column:
+    """Bucket of a non-negative int64 key in one seeded lane: the fmix32
+    cross-coupled pair from the HLL hash, seeded by XOR on the low lane.
+    Exact int64 column algebra — replayed bit-for-bit in DuckDB."""
+    lo = F.pmod(key, F.lit(M32)).bitwiseXOR(F.lit(seed))
+    a = fmix32(lo)
+    b = fmix32(F.shiftright(key, 32).bitwiseXOR(a))
+    return F.pmod(b, F.lit(w))
+
+
+def cms_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group CMS register table: (group_cols..., lane, bucket, cnt).
+
+    At most ``CMS_D * CMS_W`` rows per group regardless of input size; the
+    lane expansion is a JVM inline explode (no shuffle) and the
+    ``groupBy().sum()`` partial-aggregates map-side, so the exchange carries
+    register cells, never raw keys. NULL keys are excluded (GROUP BY
+    semantics). ``weight_col`` counts each row with an int64 weight
+    (e.g. byte sizes) instead of 1.
+    """
+    wcol = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("lane"),
+                cms_lane_bucket(F.col(key_col), CMS_SEEDS[i]).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, F.explode(lanes).alias("lb"), wcol.alias("wt"))
+        .groupBy(*group_cols, F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches (across batches or to a coarser grouping): cell-wise
+    sum. Algebraic — identical to the sketch built from the concatenated
+    input (sum is associative/commutative), asserted in tests. NOT
+    idempotent (unlike the HLL max-merge): exactly-once delivery matters,
+    which the SnapshotStore epoch lineage provides on the streaming path."""
+    return registers.groupBy(*group_cols, "lane", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Point-query estimates: min over the ``CMS_D`` lane cells of each key.
+
+    ``keys`` is a (group_cols..., key_col) frame — candidate keys are always
+    dimension-sized (a sample, a watchlist, yesterday's heavy hitters), so
+    the join is keys x (d cells each) against a register table bounded by
+    d*w rows per group; AQE picks the strategy. A key hitting an absent cell
+    estimates 0 (left join + coalesce) — correct: absent cell means no mass
+    landed there."""
+    expanded = keys.select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lane"),
+                        cms_lane_bucket(F.col(key_col), CMS_SEEDS[i]).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("lb"),
+    ).select(*group_cols, key_col, "lb.lane", "lb.bucket")
+    j = expanded.join(registers, [*group_cols, "lane", "bucket"], "left")
+    return j.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("est_cnt")
+    )

@@ -1529,3 +1529,48 @@ SELECT image_id, bucket_id, bucket_w, bucket_h,
 FROM ranked
 WHERE rk < (btotal // {int(batch_size)}) * {int(batch_size)}
 """
+
+
+def sql_footprint_iou(
+    min_iou_pct: int = 50, scale: int = 40_000, cell_micro: int = 2_600
+) -> str:
+    """Replay of operators/overlap.py::footprint_iou_pairs: micro-lattice
+    quantization (identical IEEE add/mul/floor), grid-cell explode
+    (DuckDB range() is exclusive-high, matching Spark sequence's inclusive
+    stop at (hi-1)+1), the canonical-cell single-report predicate, and the
+    cross-multiplied integer IoU threshold.  All arithmetic is int64 on
+    non-negative operands, where DuckDB // == Spark div."""
+    c = int(cell_micro)
+    s = float(scale)
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+boxes AS (
+  SELECT image_id AS fid,
+    CAST(FLOOR((fp_w + 180.0) * {s} + 0.5) AS BIGINT) AS xw,
+    CAST(FLOOR((fp_e + 180.0) * {s} + 0.5) AS BIGINT) AS xe,
+    CAST(FLOOR((fp_s + 90.0) * {s} + 0.5) AS BIGINT) AS ys,
+    CAST(FLOOR((fp_n + 90.0) * {s} + 0.5) AS BIGINT) AS yn
+  FROM fp
+),
+pos AS (SELECT * FROM boxes WHERE xe > xw AND yn > ys),
+cells AS (
+  SELECT p.*, gx.cx AS cx, gy.cy AS cy
+  FROM pos p,
+       UNNEST(range(p.xw // {c}, (p.xe - 1) // {c} + 1)) AS gx(cx),
+       UNNEST(range(p.ys // {c}, (p.yn - 1) // {c} + 1)) AS gy(cy)
+)
+SELECT a.fid AS id_a, b.fid AS id_b,
+  (LEAST(a.xe, b.xe) - GREATEST(a.xw, b.xw))
+    * (LEAST(a.yn, b.yn) - GREATEST(a.ys, b.ys)) AS inter,
+  (a.xe - a.xw) * (a.yn - a.ys) + (b.xe - b.xw) * (b.yn - b.ys)
+    - (LEAST(a.xe, b.xe) - GREATEST(a.xw, b.xw))
+      * (LEAST(a.yn, b.yn) - GREATEST(a.ys, b.ys)) AS uni,
+  (inter * 100000) // uni AS iou_e5
+FROM cells a JOIN cells b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.fid < b.fid
+WHERE GREATEST(a.xw, b.xw) < LEAST(a.xe, b.xe)
+  AND GREATEST(a.ys, b.ys) < LEAST(a.yn, b.yn)
+  AND a.cx = GREATEST(a.xw, b.xw) // {c}
+  AND a.cy = GREATEST(a.ys, b.ys) // {c}
+  AND inter * 100 >= {int(min_iou_pct)} * uni
+"""

@@ -1,0 +1,140 @@
+"""footprint_iou_pairs: exact-vs-brute-force, dedup, and geometry edge cases.
+
+The operator claims EXACT pair recovery (grid bucketing is candidate
+generation only; the integer IoU verify is total) and duplicate-free output
+without a distinct (canonical-cell reporting).  Both claims are checked
+against a vectorized numpy all-pairs oracle on the synthetic corpus, then
+stressed where the trick could break: boxes spanning many cells, abutting
+(edge-sharing, zero-IoU) boxes, zero-area boxes, and containment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_catalog_builder_spark import synth
+from stac_catalog_builder_spark.operators.footprints import with_footprint
+from stac_catalog_builder_spark.operators.overlap import (
+    DEFAULT_SCALE,
+    footprint_iou_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pairs(p: pd.DataFrame, min_iou_pct: int, scale: int = DEFAULT_SCALE):
+    """All-pairs integer-IoU oracle over a (fid, fp_w, fp_s, fp_e, fp_n) frame."""
+    xw = np.floor((p["fp_w"].to_numpy() + 180.0) * float(scale) + 0.5).astype(np.int64)
+    xe = np.floor((p["fp_e"].to_numpy() + 180.0) * float(scale) + 0.5).astype(np.int64)
+    ys = np.floor((p["fp_s"].to_numpy() + 90.0) * float(scale) + 0.5).astype(np.int64)
+    yn = np.floor((p["fp_n"].to_numpy() + 90.0) * float(scale) + 0.5).astype(np.int64)
+    ids = p["fid"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    xw, xe, ys, yn, ids = xw[order], xe[order], ys[order], yn[order], ids[order]
+    n = len(ids)
+    ai, bi = np.triu_indices(n, k=1)
+    ixw = np.maximum(xw[ai], xw[bi])
+    ixe = np.minimum(xe[ai], xe[bi])
+    iys = np.maximum(ys[ai], ys[bi])
+    iyn = np.minimum(yn[ai], yn[bi])
+    inter = np.maximum(ixe - ixw, 0) * np.maximum(iyn - iys, 0)
+    pos = (ixe > ixw) & (iyn > iys)
+    area = (xe - xw) * (yn - ys)
+    valid = (area[ai] > 0) & (area[bi] > 0)
+    uni = area[ai] + area[bi] - inter
+    keep = pos & valid & (inter * 100 >= min_iou_pct * uni)
+    out = pd.DataFrame(
+        {
+            "id_a": ids[ai[keep]],
+            "id_b": ids[bi[keep]],
+            "inter": inter[keep],
+            "uni": uni[keep],
+            "iou_e5": inter[keep] * 100_000 // uni[keep],
+        }
+    )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def _got(df) -> pd.DataFrame:
+    return (
+        df.toPandas()[["id_a", "id_b", "inter", "uni", "iou_e5"]]
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = with_footprint(synth.images(spark, SF)).select(
+        F.col("image_id").alias("fid"), "fp_w", "fp_s", "fp_e", "fp_n"
+    )
+    return df, df.toPandas()
+
+
+@pytest.mark.parametrize("thr", [30, 50, 75])
+def test_exact_vs_bruteforce(corpus, thr):
+    df, p = corpus
+    got = _got(footprint_iou_pairs(df, id_col="fid", min_iou_pct=thr))
+    want = _brute_pairs(p, thr)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    if thr <= 50:
+        assert len(want) > 0  # the hot cluster guarantees qualifying pairs
+
+
+def test_cell_size_invariance(corpus):
+    """Shrinking cells far below the bbox diameter (boxes span up to ~6x6
+    cells) must not change the output: bucketing is candidate generation
+    only, and canonical-cell reporting stays single-shot."""
+    df, p = corpus
+    want = _brute_pairs(p, 50)
+    for cell in (500, 1300, 10_000):
+        got = _got(footprint_iou_pairs(df, id_col="fid", min_iou_pct=50, cell_micro=cell))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_no_duplicate_pairs(corpus):
+    df, _ = corpus
+    out = footprint_iou_pairs(df, id_col="fid", min_iou_pct=30, cell_micro=700)
+    assert out.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["fid", "fp_w", "fp_s", "fp_e", "fp_n"])
+    )
+
+
+def test_geometry_edges(spark):
+    df = _frame(
+        spark,
+        [
+            ("a", 0.0, 0.0, 1.0, 1.0),
+            ("b", 0.0, 0.0, 1.0, 1.0),      # identical twin of a
+            ("c", 1.0, 0.0, 2.0, 1.0),      # abuts a on its east edge
+            ("d", 0.25, 0.25, 0.75, 0.75),  # contained in a, IoU = 0.25
+            ("e", 5.0, 5.0, 5.0, 6.0),      # zero-width
+        ],
+    )
+    out = _got(footprint_iou_pairs(df, id_col="fid", min_iou_pct=25))
+    # identical pair at exactly IoU 1; containment at exactly 25%
+    assert list(out["id_a"]) == ["a", "a", "b"]
+    assert list(out["id_b"]) == ["b", "d", "d"]
+    ab = out[(out.id_a == "a") & (out.id_b == "b")].iloc[0]
+    assert ab["iou_e5"] == 100_000 and ab["inter"] == ab["uni"]
+    ad = out[(out.id_a == "a") & (out.id_b == "d")].iloc[0]
+    assert ad["iou_e5"] == 25_000
+    # abutting boxes never pair, zero-area boxes never pair
+    assert "c" not in set(out.id_a) | set(out.id_b)
+    assert "e" not in set(out.id_a) | set(out.id_b)
+
+
+def test_bad_params_raise(spark):
+    df = _frame(spark, [("a", 0.0, 0.0, 1.0, 1.0)])
+    with pytest.raises(ValueError):
+        footprint_iou_pairs(df, id_col="fid", min_iou_pct=0)
+    with pytest.raises(ValueError):
+        footprint_iou_pairs(df, id_col="fid", min_iou_pct=101)
+    with pytest.raises(ValueError):
+        footprint_iou_pairs(df, id_col="fid", cell_micro=0)

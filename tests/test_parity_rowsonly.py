@@ -732,3 +732,12 @@ def test_aspect_buckets_exact_vs_duckdb(spark, con):
         con,
         oracles.sql_aspect_buckets(e.ASPECT_BUCKETS, batch_size=32, salt=3),
     )
+
+
+def test_footprint_iou_exact_vs_duckdb(spark, con):
+    """Grid-bucketed IoU self-join replayed end to end: micro quantization,
+    cell explode, canonical-cell single-report, integer IoU — equality also
+    certifies the Spark plan's no-distinct dedup emitted each pair once."""
+    out = e.q_footprint_iou(spark, SF)
+    _assert_parity(out, con, oracles.sql_footprint_iou())
+    assert out.count() > 0
