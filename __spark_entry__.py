@@ -1399,6 +1399,66 @@ def q_footprint_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footprint_iou_pairs(_images_fp(spark, sf_dir), min_iou_pct=50)
 
 
+def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py compares against DuckDB
+    computing the TARGET snapshot directly — equality proves the
+    diff -> apply roundtrip identity end to end, NULLs included):
+    MERGE INTO — apply the snapshot_diff delta to the old catalog version
+    and reconstruct the new one exactly; one join against a delta-sized
+    table instead of the reference's per-item GET-then-upsert probes
+    (operators/diff.py::snapshot_apply)."""
+    from stac_catalog_builder_spark.operators.diff import snapshot_apply, snapshot_diff
+
+    imgs = synth.images(spark, sf_dir).select(
+        "img_key", "image_id", "fmt", "caption", "w", "h"
+    )
+    old = imgs.where(F.col("img_key") % 19 != 3)
+    new = (
+        imgs.where(F.col("img_key") % 17 != 5)
+        .withColumn(
+            "fmt",
+            F.when(F.col("img_key") % 13 == 0, F.lit("webp")).otherwise(F.col("fmt")),
+        )
+        .withColumn(
+            "caption",
+            F.when(F.col("img_key") % 23 == 1, F.lit(None).cast("string")).otherwise(
+                F.col("caption")
+            ),
+        )
+    )
+    cols = ["fmt", "caption", "w", "h"]
+    delta = snapshot_diff(old.drop("img_key"), new.drop("img_key"), ["image_id"], cols)
+    return snapshot_apply(old.drop("img_key"), delta, ["image_id"], cols)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the seeded fmix32
+    lanes, register build and min-over-lanes estimates in DuckDB
+    value-exactly; tests/test_sketches.py proves est >= true for every key
+    and merge == direct): Count-Min frequency sketch over a skewed key
+    column (half the rows collapse onto 97 heavy perceptual hashes) —
+    registers are d x w cells regardless of input size, sum-mergeable
+    across batches, point-queried for the heavy candidates and compared
+    with their exact counts (operators/sketches.py::cms_registers)."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = synth.images(spark, sf_dir).select(
+        F.when(F.col("phash") % 4 < 2, F.col("phash") % 97)
+        .otherwise(F.col("phash"))
+        .alias("k")
+    )
+    regs = cms_registers(df, [], "k")
+    cand = df.where(F.col("k") < 97).distinct()
+    est = cms_estimate(regs, cand, [], "k")
+    exact = df.where(F.col("k") < 97).groupBy("k").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return exact.join(est, "k").select("k", "exact_cnt", "est_cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1497,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "aspect_buckets": q_aspect_buckets,
         "footprint_iou": q_footprint_iou,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "catalog_merge": q_catalog_merge,
     }
 
 

@@ -1574,3 +1574,67 @@ WHERE GREATEST(a.xw, b.xw) < LEAST(a.xe, b.xe)
   AND a.cy = GREATEST(a.ys, b.ys) // {c}
   AND inter * 100 >= {int(min_iou_pct)} * uni
 """
+
+
+def sql_cms_heavy_hitters() -> str:
+    """Replay of q_cms_heavy_hitters: the seeded fmix32 lane hash (constants
+    from operators/sketches.py::CMS_SEEDS), register build (lane, bucket,
+    cnt), min-over-lanes point estimates for the heavy candidate keys, and
+    the exact counts they are compared against — all int64, value-exact."""
+    from .operators.sketches import CMS_SEEDS, CMS_W
+
+    lane_rows = ", ".join(f"({i}, {CMS_SEEDS[i]})" for i in range(len(CMS_SEEDS)))
+    return f"""
+WITH {IMAGES_CTE.strip()},
+keyed AS (
+  SELECT CASE WHEN phash % 4 < 2 THEN phash % 97 ELSE phash END AS k
+  FROM images
+),
+lanes(lane, seed) AS (VALUES {lane_rows}),
+hashed AS (
+  SELECT l.lane, d.k,
+    xor(d.k % {HLL_M32}, l.seed) AS lo,{_fmix32_sql("lo", "a")},
+    xor(d.k >> 32, a) AS bx,{_fmix32_sql("bx", "b")},
+    b % {CMS_W} AS bucket
+  FROM keyed d, lanes l
+),
+regs AS (
+  SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY lane, bucket
+),
+cand AS (SELECT DISTINCT k FROM keyed WHERE k < 97),
+cand_cells AS (
+  SELECT l.lane, c.k,
+    xor(c.k % {HLL_M32}, l.seed) AS lo,{_fmix32_sql("lo", "a")},
+    xor(c.k >> 32, a) AS bx,{_fmix32_sql("bx", "b")},
+    b % {CMS_W} AS bucket
+  FROM cand c, lanes l
+),
+est AS (
+  SELECT cc.k, MIN(COALESCE(r.cnt, 0)) AS est_cnt
+  FROM cand_cells cc LEFT JOIN regs r USING (lane, bucket)
+  GROUP BY cc.k
+),
+exact AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM keyed WHERE k < 97 GROUP BY k
+)
+SELECT e.k, e.exact_cnt, s.est_cnt
+FROM exact e JOIN est s ON e.k = s.k
+"""
+
+
+def sql_catalog_merge() -> str:
+    """Oracle for q_catalog_merge: DuckDB computes the TARGET snapshot
+    directly (no join replay) — equality with the engine's
+    snapshot_apply(old, snapshot_diff(old, new)) output proves the
+    MERGE roundtrip identity."""
+    return f"""
+WITH {IMAGES_CTE.strip()}
+SELECT image_id,
+       CASE WHEN img_key % 13 = 0 THEN 'webp' ELSE fmt END AS fmt,
+       CASE WHEN img_key % 23 = 1 THEN NULL ELSE caption END AS caption,
+       w, h
+FROM images
+WHERE img_key % 17 <> 5
+"""

@@ -142,3 +142,45 @@ def current_hll(
 
     regs = store.read_stage(spark, stage).drop("part_key")
     return hll_estimate(hll_merge(regs, list(group_cols)), list(group_cols))
+
+
+def run_cms_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    group_cols: list[str],
+    key_col: str,
+    stage: str = "cms_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming frequency maintenance: each micro-batch reduces to its CMS
+    register table (at most d*w rows per group — operators/sketches)
+    committed under its epoch. Unlike the HLL's idempotent max, the CMS
+    merge is a SUM — a double-landed increment would double-count, so this
+    sketch leans on both exactly-once guards (epoch lineage skip + dynamic
+    partition overwrite) rather than algebraic forgiveness; the replay
+    no-op test covers exactly that."""
+    from ..operators.sketches import cms_registers
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: cms_registers(batch, list(group_cols), key_col),
+        stage,
+        max_files,
+    )
+
+
+def current_cms(
+    spark: SparkSession,
+    store,
+    group_cols: list[str],
+    stage: str = "cms_increments",
+) -> DataFrame:
+    """Live CMS register state: cell-wise sum over all committed epoch
+    increments — equal to sketching the full history from scratch."""
+    from ..operators.sketches import cms_merge
+
+    regs = store.read_stage(spark, stage).drop("part_key")
+    return cms_merge(regs, list(group_cols))

@@ -741,3 +741,18 @@ def test_footprint_iou_exact_vs_duckdb(spark, con):
     out = e.q_footprint_iou(spark, SF)
     _assert_parity(out, con, oracles.sql_footprint_iou())
     assert out.count() > 0
+
+
+def test_cms_heavy_hitters_exact_vs_duckdb(spark, con):
+    """Seeded fmix32 lanes -> (lane, bucket) registers -> min-over-lanes
+    estimates vs exact counts, replayed end to end in exact int64."""
+    out = e.q_cms_heavy_hitters(spark, SF)
+    _assert_parity(out, con, oracles.sql_cms_heavy_hitters())
+    assert out.count() == 97
+
+
+def test_catalog_merge_exact_vs_duckdb(spark, con):
+    """MERGE roundtrip: the engine rebuilds the new snapshot via
+    diff -> apply; DuckDB computes the target snapshot directly."""
+    out = e.q_catalog_merge(spark, SF)
+    _assert_parity(out, con, oracles.sql_catalog_merge())

@@ -106,3 +106,105 @@ def test_registers_bounded_and_plan_partial(spark, assigned):
     # shuffle exchanges only — the upstream PIP join's BroadcastExchanges
     # move the dimension, not the fact table
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+from collections import Counter
+
+from stac_catalog_builder_spark.operators.sketches import (
+    CMS_D,
+    CMS_SEEDS,
+    CMS_W,
+    cms_estimate,
+    cms_lane_bucket,
+    cms_merge,
+    cms_registers,
+)
+
+
+def _heavy_keys(assigned):
+    """Skewed key column: half the rows collapse onto 97 heavy keys."""
+    return assigned.select(
+        "collection_id",
+        F.when(F.col("phash") % 4 < 2, F.col("phash") % 97)
+        .otherwise(F.col("phash"))
+        .alias("k"),
+    )
+
+
+def _cms_np(keys: np.ndarray, seed: int, w: int) -> np.ndarray:
+    lo = (keys.astype(np.uint64) & np.uint64(0xFFFFFFFF)) ^ np.uint64(seed)
+    a = _fmix32_np(lo)
+    b = _fmix32_np((keys.astype(np.uint64) >> np.uint64(32)) ^ a)
+    return (b % np.uint64(w)).astype(np.int64)
+
+
+def test_cms_lane_bucket_matches_numpy(spark):
+    vals = np.array([0, 1, 42, 2**20, 2**32 - 1, 2**32, 2**51 + 12345, 96], dtype=np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "k long")
+    for seed in CMS_SEEDS:
+        got = (
+            df.select(cms_lane_bucket(F.col("k"), seed).alias("b"))
+            .toPandas()["b"].to_numpy()
+        )
+        assert (got == _cms_np(vals, seed, CMS_W)).all(), hex(seed)
+
+
+def test_cms_overestimates_never_under(spark, assigned):
+    """The CMS one-sided guarantee: est >= true for EVERY key, per group."""
+    df = _heavy_keys(assigned)
+    regs = cms_registers(df, ["collection_id"], "k")
+    keys = df.distinct()
+    est = {
+        (r["collection_id"], r["k"]): r["est_cnt"]
+        for r in cms_estimate(regs, keys, ["collection_id"], "k").collect()
+    }
+    true = Counter((r["collection_id"], r["k"]) for r in df.collect())
+    assert set(est) == set(true)
+    over = sum(1 for kk, t in true.items() if est[kk] > t)
+    for kk, t in true.items():
+        assert est[kk] >= t, (kk, est[kk], t)
+    # with ~1k distinct keys in 4x2048 cells, collisions are rare on this
+    # corpus — deterministic, so the observed bound is stable
+    assert over / len(true) < 0.05
+
+
+def test_cms_merge_equals_direct(spark, assigned):
+    """Register tables summed across disjoint batches == the sketch of the
+    whole input, and rollup (collection -> global) == direct global build."""
+    df = _heavy_keys(assigned)
+    b1, b2 = df.where(F.col("k") % 2 == 0), df.where(F.col("k") % 2 != 0)
+    folded = cms_merge(
+        cms_registers(b1, ["collection_id"], "k").unionByName(
+            cms_registers(b2, ["collection_id"], "k")
+        ),
+        ["collection_id"],
+    ).orderBy("collection_id", "lane", "bucket")
+    direct = cms_registers(df, ["collection_id"], "k").orderBy(
+        "collection_id", "lane", "bucket"
+    )
+    assert folded.collect() == direct.collect()
+    rollup = cms_merge(cms_registers(df, ["collection_id"], "k"), []).orderBy(
+        "lane", "bucket"
+    )
+    global_direct = cms_registers(df, [], "k").orderBy("lane", "bucket")
+    assert rollup.collect() == global_direct.collect()
+
+
+def test_cms_weighted_and_bounds(spark, assigned):
+    """Weighted registers == unweighted scaled when all weights equal; the
+    register table never exceeds d*w rows; absent-cell queries estimate 0."""
+    df = _heavy_keys(assigned).withColumn("wt", F.lit(3).cast("bigint"))
+    rw = cms_registers(df, [], "k", weight_col="wt").orderBy("lane", "bucket")
+    r1 = cms_registers(df, [], "k").orderBy("lane", "bucket")
+    a, b = rw.collect(), r1.collect()
+    assert [(x["lane"], x["bucket"], x["cnt"]) for x in a] == [
+        (x["lane"], x["bucket"], 3 * x["cnt"]) for x in b
+    ]
+    assert len(b) <= CMS_D * CMS_W
+    ghost = spark.createDataFrame([(10**17 + 7,)], "k long")
+    est = cms_estimate(r1.sparkSession.createDataFrame(b, r1.schema), ghost, [], "k").collect()
+    # a never-seen key may still collide into occupied cells, but min() over
+    # 4 lanes of a sparse table is overwhelmingly 0 here — and never negative
+    assert est[0]["est_cnt"] >= 0

@@ -197,3 +197,41 @@ def test_streaming_hll_maintenance_equals_batch(spark, tmp_path):
     sx.run_hll_maintenance(spark, src, store, ["collection_id"], "phash")
     assert len(store.snapshots("hll_increments")) == n_snaps
     assert canon(sx.current_hll(spark, store, ["collection_id"])) == batch
+
+
+def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
+    """Streaming frequency maintenance: per-epoch CMS register increments
+    sum-merged at read time must equal the from-scratch batch sketch EXACTLY,
+    and a full stream replay is a no-op — which for a SUM-merging sketch is
+    the whole exactly-once claim (a double-landed epoch would double-count,
+    unlike the HLL's idempotent max)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from stac_catalog_builder_spark.operators.sketches import cms_registers
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    keyed = e._assigned(spark, "/root/testdata/sf0.001").select(
+        "collection_id",
+        F.when(F.col("phash") % 4 < 2, F.col("phash") % 97)
+        .otherwise(F.col("phash"))
+        .alias("k"),
+    )
+    src = str(tmp_path / "keyed_cms_stream")
+    keyed.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_cms_maintenance(spark, src, store, ["collection_id"], "k")
+    assert len(store.snapshots("cms_increments")) >= 2  # multi-epoch run
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    live = canon(sx.current_cms(spark, store, ["collection_id"]))
+    batch = canon(cms_registers(spark.read.parquet(src), ["collection_id"], "k"))
+    assert live == batch and len(live) > 0
+
+    n_snaps = len(store.snapshots("cms_increments"))
+    sx.run_cms_maintenance(spark, src, store, ["collection_id"], "k")
+    assert len(store.snapshots("cms_increments")) == n_snaps
+    assert canon(sx.current_cms(spark, store, ["collection_id"])) == batch
