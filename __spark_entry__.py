@@ -1431,6 +1431,33 @@ def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_apply(old.drop("img_key"), delta, ["image_id"], cols)
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0, 128, 64
+HIST_QS = [250_000, 500_000, 900_000, 990_000]
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays registers ->
+    cumulative window -> ceil-rank selection in DuckDB value-exactly;
+    tests/test_sketches.py proves the bracket contains the true quantile
+    and merge == direct): mergeable fixed-bin histogram over caption
+    lengths per asset type, quantiles answered from a register table of at
+    most n_bins rows per group with error bounded by one bin width —
+    deterministic, unlike percentile_approx, and sum-mergeable across
+    batches like the CMS (operators/sketches.py::hist_registers)."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    vals = synth.images(spark, sf_dir).select(
+        "asset_type", F.length("caption").alias("v")
+    )
+    regs = hist_registers(vals, ["asset_type"], "v", HIST_LO, HIST_HI, HIST_BINS)
+    return hist_quantiles(
+        regs, ["asset_type"], HIST_QS, HIST_LO, HIST_HI, HIST_BINS
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (tests/test_parity_rowsonly.py replays the seeded fmix32
     lanes, register build and min-over-lanes estimates in DuckDB
@@ -1559,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footprint_iou": q_footprint_iou,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "catalog_merge": q_catalog_merge,
+        "hist_quantiles": q_hist_quantiles,
     }
 
 

@@ -287,3 +287,118 @@ def cms_estimate(
     return j.groupBy(*group_cols, key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("est_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: mergeable distribution statistics. Completes
+# the algebraic-state family (extents: min/max, HLL: distinct, CMS:
+# frequency) with quantiles: the register table is at most n_bins rows per
+# group, sum-mergeable across batches/epochs, and any quantile is answered
+# read-side with error bounded by ONE BIN WIDTH — deterministic, not
+# probabilistic. An exact distributed quantile (sort or quantile_cont) is a
+# full shuffle of the value column at 10^12 rows; percentile_approx is
+# neither mergeable-as-a-table nor engine-replayable. All arithmetic is
+# int64 (ceil-rank selection, integer bin edges), so DuckDB replays the
+# whole chain value-exactly.
+# ---------------------------------------------------------------------------
+
+
+def hist_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group histogram register table: (group_cols..., bin, cnt).
+
+    ``val_col`` must be integer-valued; values are clamped into [lo, hi)
+    BEFORE binning (out-of-range mass lands in the edge bins, the standard
+    saturating histogram), which also keeps the bin arithmetic on
+    non-negative operands where Spark ``div`` == DuckDB ``//``. NULLs are
+    excluded. Caller bound: ``(hi - lo) * n_bins < 2^63``.
+    """
+    if hi <= lo or n_bins <= 0:
+        raise ValueError(f"need hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
+    return (
+        df.where(F.col(val_col).isNotNull())
+        .select(
+            *group_cols,
+            F.expr(
+                f"(least(greatest(cast({val_col} as bigint), {lo}), {hi - 1})"
+                f" - {lo}) * {n_bins} div {hi - lo}"
+            ).alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histograms (across batches or to a coarser grouping):
+    bin-wise sum — algebraic, identical to the histogram of the
+    concatenated input."""
+    return registers.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    group_cols: list[str],
+    qs_e6: list[int],
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile brackets from a register table.
+
+    For each group and each requested quantile ``q_e6`` (parts-per-million),
+    selects the first bin whose cumulative count reaches the ceil-rank
+    ``max(1, ceil(n * q_e6 / 1e6))`` — the standard lower-quantile
+    definition, so the TRUE q-quantile of the underlying values lies inside
+    the returned ``[bin_lo, bin_hi)`` bracket (tests pin this against
+    numpy on the raw data). Output: group_cols..., q_e6, n, bin, bin_lo,
+    bin_hi. The cumulative window runs over at most ``n_bins`` rows per
+    group — dimension-sized, reusing the registers' own partitioning.
+    """
+    from pyspark.sql import Window
+
+    qs = sorted(set(int(q) for q in qs_e6))
+    if not qs or qs[0] < 0 or qs[-1] > 1_000_000:
+        raise ValueError(f"qs_e6 must be within [0, 1e6], got {qs_e6}")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = registers.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*[F.col(c) for c in group_cols]).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qdf = registers.sparkSession.createDataFrame(
+        [(q,) for q in qs], "q_e6 bigint"
+    )
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("(n * q_e6 + 999999) div 1000000"),
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= target)
+        .groupBy(*group_cols, "q_e6", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        *group_cols,
+        "q_e6",
+        "n",
+        "bin",
+        F.expr(f"{lo} + (bin * {hi - lo}) div {n_bins}").alias("bin_lo"),
+        F.expr(f"{lo} + ((bin + 1) * {hi - lo}) div {n_bins}").alias("bin_hi"),
+    )

@@ -1638,3 +1638,44 @@ SELECT image_id,
 FROM images
 WHERE img_key % 17 <> 5
 """
+
+
+def sql_hist_quantiles(
+    lo: int = 0, hi: int = 128, n_bins: int = 64,
+    qs: tuple[int, ...] = (250_000, 500_000, 900_000, 990_000),
+) -> str:
+    """Replay of q_hist_quantiles: saturating bin assignment, bin-wise
+    counts, cumulative window, ceil-rank selection and integer bin edges —
+    all int64 on non-negative operands (DuckDB // == Spark div). Window and
+    plain SUMs are cast from HUGEINT back to BIGINT."""
+    q_rows = ", ".join(f"({q})" for q in qs)
+    span = hi - lo
+    return f"""
+WITH {IMAGES_CTE.strip()},
+vals AS (SELECT asset_type, length(caption) AS v FROM images),
+regs AS (
+  SELECT asset_type,
+         (LEAST(GREATEST(CAST(v AS BIGINT), {lo}), {hi - 1}) - {lo})
+           * {n_bins} // {span} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals WHERE v IS NOT NULL GROUP BY asset_type, bin
+),
+cum AS (
+  SELECT asset_type, bin,
+         CAST(SUM(cnt) OVER (PARTITION BY asset_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY asset_type) AS BIGINT) AS n
+  FROM regs
+),
+qs(q_e6) AS (VALUES {q_rows}),
+hit AS (
+  SELECT asset_type, CAST(q_e6 AS BIGINT) AS q_e6, n, MIN(bin) AS bin
+  FROM cum, qs
+  WHERE cum >= GREATEST(1, (n * q_e6 + 999999) // 1000000)
+  GROUP BY asset_type, q_e6, n
+)
+SELECT asset_type, q_e6, n, bin,
+       {lo} + (bin * {span}) // {n_bins} AS bin_lo,
+       {lo} + ((bin + 1) * {span}) // {n_bins} AS bin_hi
+FROM hit
+"""

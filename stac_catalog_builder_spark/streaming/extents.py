@@ -184,3 +184,48 @@ def current_cms(
 
     regs = store.read_stage(spark, stage).drop("part_key")
     return cms_merge(regs, list(group_cols))
+
+
+def run_hist_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    group_cols: list[str],
+    val_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    stage: str = "hist_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming distribution maintenance: each micro-batch reduces to its
+    histogram register table (at most n_bins rows per group) committed
+    under its epoch — sum-merged like the CMS, so it rides the same
+    exactly-once guards. Quantile queries over the live state are
+    read-side (streaming/extents.current_hist + hist_quantiles)."""
+    from ..operators.sketches import hist_registers
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: hist_registers(
+            batch, list(group_cols), val_col, lo, hi, n_bins
+        ),
+        stage,
+        max_files,
+    )
+
+
+def current_hist(
+    spark: SparkSession,
+    store,
+    group_cols: list[str],
+    stage: str = "hist_increments",
+) -> DataFrame:
+    """Live histogram register state: bin-wise sum over all committed epoch
+    increments — equal to the histogram of the full history."""
+    from ..operators.sketches import hist_merge
+
+    regs = store.read_stage(spark, stage).drop("part_key")
+    return hist_merge(regs, list(group_cols))

@@ -756,3 +756,11 @@ def test_catalog_merge_exact_vs_duckdb(spark, con):
     diff -> apply; DuckDB computes the target snapshot directly."""
     out = e.q_catalog_merge(spark, SF)
     _assert_parity(out, con, oracles.sql_catalog_merge())
+
+
+def test_hist_quantiles_exact_vs_duckdb(spark, con):
+    """Histogram registers -> cumulative window -> ceil-rank quantile
+    brackets, replayed end to end in exact int64."""
+    out = e.q_hist_quantiles(spark, SF)
+    _assert_parity(out, con, oracles.sql_hist_quantiles())
+    assert out.count() == 2 * 4  # two asset types x four quantiles

@@ -208,3 +208,74 @@ def test_cms_weighted_and_bounds(spark, assigned):
     # a never-seen key may still collide into occupied cells, but min() over
     # 4 lanes of a sparse table is overwhelmingly 0 here — and never negative
     assert est[0]["est_cnt"] >= 0
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+from stac_catalog_builder_spark.operators.sketches import (
+    hist_merge,
+    hist_quantiles,
+    hist_registers,
+)
+
+H_LO, H_HI, H_BINS = 0, 128, 64
+QS = [250_000, 500_000, 900_000, 990_000]
+
+
+@pytest.fixture(scope="module")
+def caplen(spark):
+    from stac_catalog_builder_spark import synth
+
+    return synth.images(spark, SF).select(
+        "asset_type", F.length("caption").alias("v")
+    ).cache()
+
+
+def test_hist_bracket_contains_true_quantile(spark, caplen):
+    """The returned [bin_lo, bin_hi) bracket must contain the exact
+    ceil-rank quantile of the raw values, for every group and q."""
+    regs = hist_registers(caplen, ["asset_type"], "v", H_LO, H_HI, H_BINS)
+    out = hist_quantiles(regs, ["asset_type"], QS, H_LO, H_HI, H_BINS).collect()
+    raw = caplen.toPandas()
+    assert len(out) == raw["asset_type"].nunique() * len(QS)
+    for r in out:
+        vals = np.sort(raw[raw.asset_type == r["asset_type"]]["v"].to_numpy())
+        vals = np.clip(vals, H_LO, H_HI - 1)
+        rank = max(1, -(-len(vals) * r["q_e6"] // 1_000_000))  # ceil
+        true_q = vals[rank - 1]
+        assert r["bin_lo"] <= true_q < r["bin_hi"], (dict(r.asDict()), true_q)
+        assert r["n"] == len(vals)
+
+
+def test_hist_merge_equals_direct(spark, caplen):
+    b1 = caplen.where(F.col("v") % 2 == 0)
+    b2 = caplen.where(F.col("v") % 2 != 0)
+    folded = hist_merge(
+        hist_registers(b1, ["asset_type"], "v", H_LO, H_HI, H_BINS).unionByName(
+            hist_registers(b2, ["asset_type"], "v", H_LO, H_HI, H_BINS)
+        ),
+        ["asset_type"],
+    ).orderBy("asset_type", "bin")
+    direct = hist_registers(caplen, ["asset_type"], "v", H_LO, H_HI, H_BINS).orderBy(
+        "asset_type", "bin"
+    )
+    assert folded.collect() == direct.collect()
+
+
+def test_hist_clamps_and_validates(spark):
+    df = spark.createDataFrame([(-5,), (0,), (127,), (500,), (None,)], "v int")
+    regs = {r["bin"]: r["cnt"] for r in hist_registers(df, [], "v", H_LO, H_HI, H_BINS).collect()}
+    # -5 clamps to bin 0; 500 clamps with 127 into the last bin; NULL dropped
+    assert regs == {0: 2, H_BINS - 1: 2}
+    with pytest.raises(ValueError):
+        hist_registers(df, [], "v", 10, 10, 4)
+    with pytest.raises(ValueError):
+        hist_quantiles(hist_registers(df, [], "v", H_LO, H_HI, H_BINS), [], [2_000_000], H_LO, H_HI, H_BINS)
+
+
+def test_hist_extreme_quantiles(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    regs = hist_registers(df, [], "v", 0, 10, 10)  # one bin per value
+    out = {r["q_e6"]: r for r in hist_quantiles(regs, [], [0, 1_000_000], 0, 10, 10).collect()}
+    assert out[0]["bin"] == 0            # q=0 -> rank clamps to 1 -> min
+    assert out[1_000_000]["bin"] == 9    # q=1 -> rank n -> max

@@ -235,3 +235,43 @@ def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
     sx.run_cms_maintenance(spark, src, store, ["collection_id"], "k")
     assert len(store.snapshots("cms_increments")) == n_snaps
     assert canon(sx.current_cms(spark, store, ["collection_id"])) == batch
+
+
+def test_streaming_hist_maintenance_equals_batch(spark, tmp_path):
+    """Streaming histogram maintenance: per-epoch register increments
+    sum-merged at read time == the from-scratch batch histogram exactly;
+    quantiles over the live state == quantiles over the batch registers;
+    replay is a no-op."""
+    from pyspark.sql import functions as F
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    vals = synth.images(spark, "/root/testdata/sf0.001").select(
+        "asset_type", F.length("caption").alias("v")
+    )
+    src = str(tmp_path / "vals_hist_stream")
+    vals.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    args = (["asset_type"], "v", 0, 128, 64)
+    sx.run_hist_maintenance(spark, src, store, *args)
+    assert len(store.snapshots("hist_increments")) >= 2
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    live = sx.current_hist(spark, store, ["asset_type"])
+    batch = hist_registers(spark.read.parquet(src), *args)
+    assert canon(live) == canon(batch) and live.count() > 0
+    assert canon(
+        hist_quantiles(live, ["asset_type"], [500_000], 0, 128, 64)
+    ) == canon(hist_quantiles(batch, ["asset_type"], [500_000], 0, 128, 64))
+
+    n_snaps = len(store.snapshots("hist_increments"))
+    sx.run_hist_maintenance(spark, src, store, *args)
+    assert len(store.snapshots("hist_increments")) == n_snaps
