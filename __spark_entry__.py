@@ -1431,6 +1431,47 @@ def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_apply(old.drop("img_key"), delta, ["image_id"], cols)
 
 
+def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the lag-window gap
+    statistics in DuckDB value-exactly; tests/test_temporal.py pins a numpy
+    oracle, tie/singleton semantics and the single-Exchange plan): per-cell
+    revisit cadence at grid res 4 — n_obs, span, min/max consecutive gap,
+    mean gap (exact integer division; gaps telescope to the span) — the
+    staleness/over-revisit map of the catalog
+    (operators/temporal.py::revisit_stats)."""
+    from stac_catalog_builder_spark.operators.temporal import revisit_stats
+
+    res = 4
+    nx, ny = 2 ** (res + 1), 2**res
+    df = _images_fp(spark, sf_dir).select(
+        F.least(
+            F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * nx), F.lit(0)),
+            F.lit(nx - 1),
+        ).alias("gx"),
+        F.least(
+            F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * ny), F.lit(0)),
+            F.lit(ny - 1),
+        ).alias("gy"),
+        "datetime",
+    )
+    return revisit_stats(df, ["gx", "gy"], "datetime")
+
+
+def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays density -> scatter
+    -> neighborhood aggregate in DuckDB value-exactly; tests/test_focal.py
+    proves exact equality with a dense numpy convolution incl. antimeridian
+    wrap and pole clamp): 3x3 focal density surface at grid res 6 — the
+    fact table reduces to per-cell counts first (one data-sized shuffle),
+    the convolution then runs on the dimension-sized density table as a
+    scatter explode + sum, own-count and focal sum in ONE aggregate
+    (operators/focal.py::focal_smooth)."""
+    from stac_catalog_builder_spark.operators.focal import cell_density, focal_smooth
+
+    dens = cell_density(_images_fp(spark, sf_dir), "lon", "lat", 6)
+    return focal_smooth(dens, 6, 1)
+
+
 HIST_LO, HIST_HI, HIST_BINS = 0, 128, 64
 HIST_QS = [250_000, 500_000, 900_000, 990_000]
 
@@ -1587,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "catalog_merge": q_catalog_merge,
         "hist_quantiles": q_hist_quantiles,
+        "focal_density": q_focal_density,
+        "revisit_stats": q_revisit_stats,
     }
 
 

@@ -262,3 +262,40 @@ def _interval_coverage_bucketed(
         F.min("_min_s").alias("t_min_s"),
         F.max("_max_e").alias("t_max_s"),
     )
+
+
+def revisit_stats(
+    df: DataFrame, key_cols: list[str], time_col: str
+) -> DataFrame:
+    """Per-key revisit cadence: how often does each cell/tile get observed?
+
+    For each key, the consecutive-gap statistics of its sorted acquisition
+    times: ``n_obs``, ``span_s`` (last - first), ``min_gap_s`` /
+    ``max_gap_s`` (NULL when n_obs = 1), and ``mean_gap_s = span_s div
+    (n_obs - 1)`` — exact integer division (consecutive gaps telescope to
+    the span, so the mean needs no gap sum).  This is the coverage-cadence
+    complement of ``interval_coverage``: that operator unions durations,
+    this one measures the sampling pattern BETWEEN acquisitions — the
+    question behind "which tiles are stale / over-revisited?".
+
+    One shuffle total: the lag window partitions by the SAME key the final
+    aggregate groups on, so the aggregate reuses the window's partitioning
+    (the plan-shape test pins a single Exchange).  Equal timestamps within
+    a key produce 0-gaps regardless of their window tiebreak order — the
+    multiset of consecutive gaps of a sorted sequence is order-invariant —
+    so the output is deterministic with no tiebreak column.
+    """
+    ts = F.unix_timestamp(F.col(time_col))
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy("t_s")
+    gapped = df.select(*key_cols, ts.alias("t_s")).withColumn(
+        "gap_s", F.col("t_s") - F.lag("t_s").over(w)
+    )
+    return gapped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("t_s") - F.min("t_s")).alias("span_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.expr("CASE WHEN count(1) > 1 THEN (max(t_s) - min(t_s)) div (count(1) - 1) END").alias(
+            "mean_gap_s"
+        ),
+    )

@@ -1679,3 +1679,73 @@ SELECT asset_type, q_e6, n, bin,
        {lo} + ((bin + 1) * {span}) // {n_bins} AS bin_hi
 FROM hit
 """
+
+
+def sql_focal_density(res: int = 6, radius: int = 1) -> str:
+    """Replay of q_focal_density: identical IEEE cell assignment (the
+    grid_cell_col formula inlined as gx/gy directly — the engine unpacks the
+    same values from the packed cell id), scatter explode with wrap-x /
+    clamp-y, and the one-pass own+focal aggregate. DuckDB % can return
+    negatives, so wrap is ((x % nx) + nx) % nx (Spark pmod)."""
+    nx, ny = 2 ** (res + 1), 2**res
+    r = int(radius)
+    win = f"{2 * r + 1} * (LEAST(ty + {r}, {ny - 1}) - GREATEST(ty - {r}, 0) + 1)"
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+cellxy AS (
+  SELECT
+    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS gx,
+    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS gy
+  FROM fp
+),
+dens AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS cnt FROM cellxy GROUP BY gx, gy),
+scat AS (
+  SELECT (((d.gx + sx.dx) % {nx}) + {nx}) % {nx} AS tx,
+         d.gy + sy.dy AS ty, d.cnt, sx.dx, sy.dy
+  FROM dens d,
+       UNNEST(range(-{r}, {r + 1})) AS sx(dx),
+       UNNEST(range(-{r}, {r + 1})) AS sy(dy)
+  WHERE d.gy + sy.dy >= 0 AND d.gy + sy.dy < {ny}
+),
+agg AS (
+  SELECT tx, ty,
+         CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN cnt ELSE 0 END) AS BIGINT) AS cnt,
+         CAST(SUM(cnt) AS BIGINT) AS focal_cnt
+  FROM scat GROUP BY tx, ty
+)
+SELECT tx AS gx, ty AS gy, cnt, focal_cnt,
+       CAST({win} AS BIGINT) AS n_window,
+       (focal_cnt * 1000) // ({win}) AS focal_mean_e3
+FROM agg
+"""
+
+
+def sql_revisit_stats(res: int = 4) -> str:
+    """Replay of q_revisit_stats: identical IEEE cell assignment, epoch
+    seconds as CAST(FLOOR(epoch(ts)) AS BIGINT) (== Spark unix_timestamp),
+    lag-window consecutive gaps, and the telescoped integer mean."""
+    nx, ny = 2 ** (res + 1), 2**res
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+cellxy AS (
+  SELECT
+    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS gx,
+    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS gy,
+    CAST(FLOOR(epoch(datetime)) AS BIGINT) AS t_s
+  FROM fp
+),
+gapped AS (
+  SELECT gx, gy, t_s,
+         t_s - LAG(t_s) OVER (PARTITION BY gx, gy ORDER BY t_s) AS gap_s
+  FROM cellxy
+)
+SELECT gx, gy,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       MAX(t_s) - MIN(t_s) AS span_s,
+       MIN(gap_s) AS min_gap_s,
+       MAX(gap_s) AS max_gap_s,
+       CASE WHEN COUNT(*) > 1
+            THEN (MAX(t_s) - MIN(t_s)) // (COUNT(*) - 1) END AS mean_gap_s
+FROM gapped
+GROUP BY gx, gy
+"""

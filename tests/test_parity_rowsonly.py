@@ -764,3 +764,18 @@ def test_hist_quantiles_exact_vs_duckdb(spark, con):
     out = e.q_hist_quantiles(spark, SF)
     _assert_parity(out, con, oracles.sql_hist_quantiles())
     assert out.count() == 2 * 4  # two asset types x four quantiles
+
+
+def test_focal_density_exact_vs_duckdb(spark, con):
+    """Cell density -> scatter convolution -> own+focal one-pass aggregate,
+    replayed end to end (wrap-x via pmod emulation, clamp-y)."""
+    out = e.q_focal_density(spark, SF)
+    _assert_parity(out, con, oracles.sql_focal_density())
+    assert out.count() > 0
+
+
+def test_revisit_stats_exact_vs_duckdb(spark, con):
+    """Lag-window revisit gaps per grid cell, replayed end to end."""
+    out = e.q_revisit_stats(spark, SF)
+    _assert_parity(out, con, oracles.sql_revisit_stats())
+    assert out.count() > 0

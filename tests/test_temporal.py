@@ -186,3 +186,72 @@ def test_interval_coverage_bucketed_negative_timestamps(spark):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, bucketed))
     [r] = bucketed
     assert (r["n_islands"], r["coverage_s"], r["max_gap_s"]) == (2, 270, 100)
+
+
+# --- revisit_stats ---------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+from stac_catalog_builder_spark.operators.temporal import revisit_stats
+
+
+def test_revisit_stats_vs_numpy(spark):
+    """Exact equality with a per-key numpy oracle over the synthetic corpus
+    (ties included: equal timestamps yield 0-gaps deterministically)."""
+    from stac_catalog_builder_spark import synth
+
+    df = synth.images(spark, "/root/testdata/sf0.001").select(
+        "item_id", "datetime"
+    )
+    got = {
+        r["item_id"]: (r["n_obs"], r["span_s"], r["min_gap_s"], r["max_gap_s"], r["mean_gap_s"])
+        for r in revisit_stats(df, ["item_id"], "datetime").collect()
+    }
+    raw = df.toPandas()
+    raw["t"] = raw["datetime"].astype("int64") // 10**9
+    for k, grp in raw.groupby("item_id"):
+        t = np.sort(grp["t"].to_numpy())
+        gaps = np.diff(t)
+        want = (
+            len(t),
+            int(t[-1] - t[0]),
+            int(gaps.min()) if len(gaps) else None,
+            int(gaps.max()) if len(gaps) else None,
+            int((t[-1] - t[0]) // (len(t) - 1)) if len(t) > 1 else None,
+        )
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_revisit_singleton_and_ties(spark):
+    rows = [
+        ("a", "2020-01-01 00:00:00"),
+        ("a", "2020-01-01 00:00:00"),  # tie -> 0 gap
+        ("a", "2020-01-03 00:00:00"),
+        ("b", "2021-06-01 12:00:00"),  # singleton -> NULL gaps
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts"])).select(
+        "k", F.to_timestamp("ts").alias("ts")
+    )
+    got = {r["k"]: r for r in revisit_stats(df, ["k"], "ts").collect()}
+    assert got["a"]["n_obs"] == 3 and got["a"]["min_gap_s"] == 0
+    assert got["a"]["max_gap_s"] == 2 * 86400
+    assert got["a"]["mean_gap_s"] == 86400
+    assert got["b"]["n_obs"] == 1
+    assert got["b"]["min_gap_s"] is None and got["b"]["mean_gap_s"] is None
+    assert got["b"]["span_s"] == 0
+
+
+def test_revisit_single_exchange_plan(spark):
+    """The aggregate must reuse the lag window's hash partitioning: exactly
+    one shuffle Exchange in the physical plan."""
+    from stac_catalog_builder_spark import synth
+
+    df = synth.images(spark, "/root/testdata/sf0.001").select("item_id", "datetime")
+    plan = (
+        revisit_stats(df, ["item_id"], "datetime")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
