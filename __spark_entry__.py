@@ -1527,6 +1527,37 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "k").select("k", "exact_cnt", "est_cnt")
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays hash -> bottom-k
+    registers -> union-sketch pair overlap in DuckDB value-exactly;
+    tests/test_sketches.py proves the Jaccard estimate lands within the
+    sketch error band of the exact value and union-merge == direct): KMV
+    bottom-k overlap estimation between the four (asset_type, year)
+    sub-corpora over an engineered shared key space — pairwise Jaccard /
+    union / intersection estimates from k=1024 registers per group, never
+    joining raw keys (operators/sketches.py::kmv_registers)."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_registers,
+    )
+
+    # 60% of rows key on their 12-image block id (shared across all four
+    # groups — every block spans both asset types and both years), the rest
+    # on a globally unique key: every pair overlaps partially, so both the
+    # common and the disjoint sketch paths are exercised. A plain scramble
+    # of the dense img_key space is a low-discrepancy lattice whose residues
+    # partition BY GROUP (zero overlap — measured), hence the block design.
+    df = synth.images(spark, sf_dir).select(
+        F.concat_ws("_", "asset_type", "year").alias("g"),
+        F.expr(
+            "CASE WHEN img_key % 5 < 3 THEN img_key div 12"
+            " ELSE 1000000 + img_key END"
+        ).alias("k"),
+    )
+    regs = kmv_registers(df, ["g"], "k")
+    return kmv_pair_overlap(regs, "g")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1630,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "focal_density": q_focal_density,
         "revisit_stats": q_revisit_stats,
+        "corpus_overlap": q_corpus_overlap,
     }
 
 

@@ -342,6 +342,187 @@ def hist_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     return registers.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# KMV (bottom-k minimum values) sketch: mergeable SET-OPERATION cardinality.
+# The HLL answers "how many distinct?" per group but cannot answer "how much
+# do two corpora OVERLAP?" — inclusion-exclusion over HLL union estimates
+# amplifies error catastrophically for small intersections. The KMV sketch
+# (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07) keeps the k smallest
+# hash values per group; because the k smallest of A ∪ B are a subset of
+# (bottom-k of A) ∪ (bottom-k of B), the union sketch is computable from the
+# two register sets alone, and the fraction of union-sketch members present
+# in BOTH register sets estimates the Jaccard similarity directly. That is
+# the sketch complement of ``textops.decontaminate`` (exact n-gram match):
+# estimate cross-corpus / cross-collection overlap at 10^12 rows without
+# joining raw keys — train-vs-benchmark leakage triage, collection drift,
+# dedup-rate forecasting between acquisition campaigns.
+#
+# Everything is exact int64 column algebra on the fmix32 lane hash (63-bit
+# combined), so DuckDB replays the whole chain value-exactly; the single
+# floating-point step (the kth-min distinct estimator) is one literal-over-
+# int64 division + floor, identical in both engines.
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024  # bottom-k size -> Jaccard std err ~ sqrt(J(1-J)/k) <= 1.6%
+KMV_M63 = 1 << 63  # hash space: a * 2^31 + (b >> 1) spans [0, 2^63)
+# distinct estimator numerator 1000 * (k-1) * 2^63 — exactly representable
+# (1023000 = 127875 * 2^3, mantissa < 2^53); shared with the DuckDB oracle
+KMV_EST_NUM = 1000.0 * (KMV_K - 1) * float(KMV_M63)
+
+
+def kmv_hash63(key: Column) -> Column:
+    """63-bit uniform hash of a non-negative int64 key from the cross-coupled
+    fmix32 lanes: ``a * 2^31 + (b >> 1)`` — a < 2^32 keeps the product below
+    2^63 (ANSI-safe), and dropping one bit of ``b`` costs nothing at k=1024."""
+    a, b = hll_lanes(key)
+    return a * F.lit(1 << 31) + F.shiftright(b, 1)
+
+
+def kmv_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = KMV_K,
+    expected_distinct: int | None = None,
+) -> DataFrame:
+    """Per-group KMV register table: (group_cols..., hv) — the k smallest
+    distinct 63-bit key hashes of each group.
+
+    Two-stage shape: a ``groupBy(group, hv)`` dedup (map-side partial, so
+    within-partition duplicates never shuffle) then a rank-k window filter
+    that Spark rewrites to WindowGroupLimit — each map task forwards at most
+    k rows per group, so the final exchange carries <= k rows per group per
+    partition, never the distinct key set.
+
+    ``expected_distinct`` (from lake statistics) additionally prefilters to
+    ``hv < 8k/expected * 2^63`` MAP-SIDE — at 10^12 rows this is the lever
+    that keeps even the dedup exchange dimension-sized. The expectation must
+    be within ~8x of the true per-group distinct count; too LOW an estimate
+    risks fewer than k survivors (registers silently degrade toward a
+    smaller effective k). tests/test_sketches.py proves the filtered path
+    equals the full path when the statistic is accurate. NULL keys are
+    excluded (COUNT DISTINCT semantics).
+    """
+    from pyspark.sql import Window
+
+    hv = kmv_hash63(F.col(key_col))
+    base = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, hv.alias("hv")
+    )
+    if expected_distinct is not None:
+        if expected_distinct <= 0:
+            raise ValueError(f"expected_distinct must be > 0, got {expected_distinct}")
+        thresh = min(KMV_M63 - 1, (8 * k * KMV_M63) // expected_distinct)
+        base = base.where(F.col("hv") < F.lit(thresh))
+    dedup = base.groupBy(*group_cols, "hv").agg(F.lit(1).alias("_one")).drop("_one")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+    return (
+        dedup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    registers: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    A group holding fewer than k registers has ALL its distinct hashes, so
+    the count is exact; a full group uses the unbiased kth-minimum estimator
+    ``(k-1) * 2^63 / h_(k)`` (Beyer et al. SIGMOD'07). Output columns:
+    group_cols..., k_used, kth_hv, est_e3 (estimate x1000, floored int64 —
+    exact-branch groups emit k_used * 1000).
+    """
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth_hv")
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used") * F.lit(1000)
+    ).otherwise(
+        F.floor(
+            F.lit(1000.0 * (k - 1) * float(KMV_M63))
+            / F.col("kth_hv").cast("double")
+        )
+    )
+    return agg.select(*group_cols, "k_used", "kth_hv", est.alias("est_e3"))
+
+
+def kmv_pair_overlap(
+    registers: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """All-pairs overlap estimates between the groups of a register table.
+
+    For every unordered group pair (ga < gb): rebuild the UNION sketch (the
+    k smallest of the merged register sets — valid because bottom-k(A ∪ B)
+    ⊆ bottom-k(A) ∪ bottom-k(B)), count its members present in both sides,
+    and emit
+    - ``k_used``:     union-sketch size (< k only when |A ∪ B| < k — then
+                      everything downstream is EXACT, not an estimate);
+    - ``n_common``:   union-sketch members in both register sets;
+    - ``jaccard_e6``: (n_common * 10^6) div k_used — exact integer division;
+    - ``est_union_e3``: kth-min distinct estimate of |A ∪ B| (x1000);
+    - ``est_inter_e3``: |A ∩ B| estimate = est_union * jaccard, computed as
+                        exact int64 ``(est_union_e3 * n_common) div k_used``.
+
+    Scale shape: registers are <= k rows per group, so every join here is
+    dimension-sized whatever the input corpus was; the pair frame is G^2/2
+    rows for G groups (collections/campaigns/snapshots — always small). The
+    per-pair window orders <= 2k rows. Groups absent from ``pairs`` share no
+    register — emitting nothing — so callers wanting explicit zeros outer-
+    join the pair universe.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    groups = registers.select(g.alias("_g")).distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("ga"))
+        .crossJoin(groups.select(F.col("_g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    side_a = registers.join(
+        F.broadcast(pairs), on=g == F.col("ga"), how="inner"
+    ).select("ga", "gb", "hv", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    side_b = registers.join(
+        F.broadcast(pairs), on=g == F.col("gb"), how="inner"
+    ).select("ga", "gb", "hv", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("ga", "gb", "hv")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("hv")
+    topk = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    agg = topk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
+        F.max("hv").alias("union_kth"),
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used") * F.lit(1000)
+    ).otherwise(
+        F.floor(
+            F.lit(1000.0 * (k - 1) * float(KMV_M63))
+            / F.col("union_kth").cast("double")
+        )
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        "k_used",
+        "n_common",
+        F.expr("n_common * 1000000 div k_used").alias("jaccard_e6"),
+        est_union.alias("est_union_e3"),
+    ).select(
+        "*",
+        F.expr("est_union_e3 * n_common div k_used").alias("est_inter_e3"),
+    )
+
+
 def hist_quantiles(
     registers: DataFrame,
     group_cols: list[str],

@@ -1749,3 +1749,72 @@ SELECT gx, gy,
 FROM gapped
 GROUP BY gx, gy
 """
+
+
+def sql_corpus_overlap() -> str:
+    """Replay of q_corpus_overlap: the 63-bit fmix32 lane hash, per-group
+    bottom-k (k=1024) registers, union-sketch reconstruction per group pair,
+    and the overlap estimates. Everything is exact int64 except the kth-min
+    union estimator — one shared-literal-over-int64 division + floor both
+    engines round identically (operators/sketches.py::kmv_pair_overlap)."""
+    from .operators.sketches import KMV_EST_NUM, KMV_K
+
+    return f"""
+WITH {IMAGES_CTE.strip()},
+keyed AS (
+  SELECT asset_type || '_' || CAST(year AS VARCHAR) AS g,
+         CASE WHEN img_key % 5 < 3 THEN img_key // 12
+              ELSE 1000000 + img_key END AS k
+  FROM images
+),
+hashed AS (
+  SELECT g,
+    k % {HLL_M32} AS lo,{_fmix32_sql("lo", "a")},
+    xor(k >> 32, a) AS bx,{_fmix32_sql("bx", "b")},
+    a * 2147483648 + (b >> 1) AS hv
+  FROM keyed
+),
+dedup AS (SELECT DISTINCT g, hv FROM hashed),
+regs AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+    FROM dedup) WHERE rn <= {KMV_K}
+),
+grp AS (SELECT DISTINCT g FROM regs),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM grp a, grp b WHERE a.g < b.g
+),
+sides AS (
+  SELECT p.ga, p.gb, r.hv, 1 AS ia, 0 AS ib
+  FROM pairs p JOIN regs r ON r.g = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, r.hv, 0, 1
+  FROM pairs p JOIN regs r ON r.g = p.gb
+),
+merged AS (
+  SELECT ga, gb, hv, MAX(ia) AS ia, MAX(ib) AS ib
+  FROM sides GROUP BY ga, gb, hv
+),
+topk AS (
+  SELECT * FROM (
+    SELECT ga, gb, hv, ia, ib,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+    FROM merged) WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT ga, gb,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(ia * ib) AS BIGINT) AS n_common,
+         MAX(hv) AS union_kth
+  FROM topk GROUP BY ga, gb
+)
+SELECT ga, gb, k_used, n_common,
+       n_common * 1000000 // k_used AS jaccard_e6,
+       CASE WHEN k_used < {KMV_K} THEN k_used * 1000
+            ELSE CAST(FLOOR({KMV_EST_NUM!r} / CAST(union_kth AS DOUBLE)) AS BIGINT)
+            END AS est_union_e3,
+       CASE WHEN k_used < {KMV_K} THEN k_used * 1000
+            ELSE CAST(FLOOR({KMV_EST_NUM!r} / CAST(union_kth AS DOUBLE)) AS BIGINT)
+            END * n_common // k_used AS est_inter_e3
+FROM agg
+"""

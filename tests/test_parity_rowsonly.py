@@ -779,3 +779,10 @@ def test_revisit_stats_exact_vs_duckdb(spark, con):
     out = e.q_revisit_stats(spark, SF)
     _assert_parity(out, con, oracles.sql_revisit_stats())
     assert out.count() > 0
+
+
+def test_corpus_overlap_exact_vs_duckdb(spark, con):
+    """KMV bottom-k registers -> union-sketch pair overlap replayed end to
+    end: the fmix32 63-bit hash, ROW_NUMBER bottom-k, merged membership
+    flags, and the single floating-point kth-min estimator division."""
+    _assert_parity(e.q_corpus_overlap(spark, SF), con, oracles.sql_corpus_overlap())

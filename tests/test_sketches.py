@@ -279,3 +279,122 @@ def test_hist_extreme_quantiles(spark):
     out = {r["q_e6"]: r for r in hist_quantiles(regs, [], [0, 1_000_000], 0, 10, 10).collect()}
     assert out[0]["bin"] == 0            # q=0 -> rank clamps to 1 -> min
     assert out[1_000_000]["bin"] == 9    # q=1 -> rank n -> max
+
+
+# --- KMV bottom-k sketch ---------------------------------------------------
+
+from stac_catalog_builder_spark.operators.sketches import (
+    KMV_M63,
+    kmv_estimate,
+    kmv_hash63,
+    kmv_pair_overlap,
+    kmv_registers,
+)
+
+
+def _kmv_hash_np(keys: np.ndarray) -> np.ndarray:
+    """numpy replay of kmv_hash63 (cross-coupled fmix32 lanes, 63-bit)."""
+    lo = keys.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    a = _fmix32_np(lo)
+    b = _fmix32_np((keys.astype(np.uint64) >> np.uint64(32)) ^ a)
+    return (a.astype(np.int64) << np.int64(31)) + (b >> np.uint64(1)).astype(np.int64)
+
+
+def test_kmv_hash_matches_numpy(spark):
+    vals = [0, 1, 42, 2**20, 2**31 - 1, 2**31, 2**52 + 12345, 2**62]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "x long")
+        .select(kmv_hash63(F.col("x")).alias("h"))
+        .toPandas()["h"]
+        .to_numpy()
+    )
+    want = _kmv_hash_np(np.array(vals, dtype=np.int64))
+    assert (got == want).all()
+    assert (got >= 0).all() and (got < 2**63).all()
+
+
+@pytest.fixture(scope="module")
+def two_corpora(spark):
+    """Two groups over a shared universe: keys 0..999 in A, 500..1499 in B
+    (plus duplicates and NULLs) -> exact |A|=1000, |B|=1000, |A∩B|=500,
+    |A∪B|=1500."""
+    a = spark.range(0, 1000).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.lit("B").alias("g"), F.col("id").alias("k"))
+    dups = spark.range(0, 300).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+    nulls = spark.createDataFrame([("A", None), ("B", None)], "g string, k long")
+    return a.unionAll(b).unionAll(dups).unionAll(nulls).cache()
+
+
+def test_kmv_exact_branch(spark, two_corpora):
+    """Groups smaller than k hold every distinct hash: estimates and the
+    pairwise Jaccard are EXACT (duplicates and NULLs ignored)."""
+    regs = kmv_registers(two_corpora, ["g"], "k", k=4096)
+    est = {r["g"]: r for r in kmv_estimate(regs, ["g"], k=4096).collect()}
+    assert est["A"]["k_used"] == 1000 and est["A"]["est_e3"] == 1000_000
+    assert est["B"]["k_used"] == 1000 and est["B"]["est_e3"] == 1000_000
+    pair = kmv_pair_overlap(regs, "g", k=4096).collect()
+    assert len(pair) == 1
+    p = pair[0]
+    assert p["k_used"] == 1500 and p["n_common"] == 500
+    assert p["jaccard_e6"] == 500 * 1_000_000 // 1500
+    assert p["est_union_e3"] == 1500_000
+    assert p["est_inter_e3"] == 1500_000 * 500 // 1500
+
+
+def test_kmv_estimator_branch_accuracy(spark, two_corpora):
+    """k=128 forces the kth-min estimator; the union/intersection/Jaccard
+    estimates must land within 5 standard errors of the exact values
+    (sigma_J = sqrt(J(1-J)/k), sigma_n ~ n/sqrt(k-2))."""
+    k = 128
+    regs = kmv_registers(two_corpora, ["g"], "k", k=k)
+    p = kmv_pair_overlap(regs, "g", k=k).collect()[0]
+    assert p["k_used"] == k
+    j_true, n_union_true = 500 / 1500, 1500
+    sig_j = (j_true * (1 - j_true) / k) ** 0.5
+    assert abs(p["jaccard_e6"] / 1e6 - j_true) <= 5 * sig_j
+    sig_n = n_union_true / (k - 2) ** 0.5
+    assert abs(p["est_union_e3"] / 1e3 - n_union_true) <= 5 * sig_n
+    est = {r["g"]: r for r in kmv_estimate(regs, ["g"], k=k).collect()}
+    for g in ("A", "B"):
+        assert abs(est[g]["est_e3"] / 1e3 - 1000) <= 5 * (1000 / (k - 2) ** 0.5)
+
+
+def test_kmv_union_merge_equals_direct(spark, two_corpora):
+    """bottom-k(A ∪ B) rebuilt from the two register sets == bottom-k built
+    directly over the concatenated input — the subset property the pairwise
+    overlap relies on."""
+    k = 128
+    regs = kmv_registers(two_corpora, ["g"], "k", k=k)
+    p = kmv_pair_overlap(regs, "g", k=k).collect()[0]
+    direct = kmv_registers(
+        two_corpora.select(F.lit("U").alias("g"), "k"), ["g"], "k", k=k
+    )
+    d = kmv_estimate(direct, ["g"], k=k).collect()[0]
+    assert p["k_used"] == d["k_used"]
+    assert p["est_union_e3"] == d["est_e3"]
+
+
+def test_kmv_prefilter_equals_full(spark, two_corpora):
+    """An accurate expected_distinct statistic changes the PLAN (map-side
+    hash prefilter) but not one output row."""
+    full = kmv_registers(two_corpora, ["g"], "k", k=256).orderBy("g", "hv")
+    fast = kmv_registers(
+        two_corpora, ["g"], "k", k=256, expected_distinct=1000
+    ).orderBy("g", "hv")
+    assert [r.asDict() for r in full.collect()] == [
+        r.asDict() for r in fast.collect()
+    ]
+    with pytest.raises(ValueError):
+        kmv_registers(two_corpora, ["g"], "k", expected_distinct=0)
+
+
+def test_kmv_plan_windowgrouplimit(spark, two_corpora):
+    """The rank-k filter must compile to WindowGroupLimit (map-side partial
+    limiting), so each task forwards at most k rows per group."""
+    plan = (
+        kmv_registers(two_corpora, ["g"], "k", k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
