@@ -385,3 +385,63 @@ def geohash_np(lon: np.ndarray, lat: np.ndarray, precision: int) -> np.ndarray:
             s.append(GEOHASH32[val])
         out.append("".join(s))
     return np.array(out, dtype=object)
+
+
+def hilbert_d_col(x: Column, y: Column, order: int) -> Column:
+    """Hilbert-curve index d of integer grid coordinates (x, y) at ``order``
+    (grid 2^order x 2^order) — pure JVM column algebra, value-identical to
+    ``_hilbert_xy_to_d`` (pytest asserts this exhaustively).
+
+    Built as ONE ``F.aggregate`` fold over the literal bit-plane array
+    [2^(order-1), ..., 1]: the classic per-level quadrant digit + rotation
+    recurrence runs as a runtime loop inside a single expression. An
+    unrolled chain of ``withColumn`` levels would either collapse into an
+    exponentially-duplicated expression tree (CollapseProject inlines each
+    level's x/y into the next, which references them twice) or gamble on
+    optimizer heuristics to keep the stages apart; the fold is loop-shaped
+    at runtime, so plan size and codegen stay O(1) in ``order``.
+
+    The rotation uses the masked variant (x,y reduced below s before
+    reflecting): every intermediate stays in [0, 2^63) — no reliance on
+    two's-complement behavior of negative BIGINTs, which keeps the DuckDB
+    recursive-CTE replay (oracles.sql_hilbert_index) trivially exact.
+    Why Hilbert for LAYOUT (vs the quadkey/Z-order in operators/tiling.py):
+    successive d values are always grid NEIGHBORS (unit steps, no Z-jumps),
+    so sorting a 10^12-row fact table by d gives every output file a
+    spatially compact footprint and bbox probes touch the fewest files —
+    the clustering key Delta/Iceberg OPTIMIZE ZORDER approximates, exact
+    here because the curve never teleports.
+    """
+    if not 1 <= order <= 31:
+        raise ValueError(f"order must be in [1, 31], got {order}")
+    planes = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(order - 1, -1, -1)]
+    )
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx_set = ax.bitwiseAND(s) > 0
+        ry_set = ay.bitwiseAND(s) > 0
+        xm = ax.bitwiseAND(s - 1)
+        ym = ay.bitwiseAND(s - 1)
+        digit = (
+            F.when(rx_set, 3).otherwise(0).bitwiseXOR(F.when(ry_set, 1).otherwise(0))
+        ).cast("long")
+        # ry=1: keep (xm, ym); ry=0 & rx=1: reflect both then swap;
+        # ry=0 & rx=0: swap
+        nx = F.when(ry_set, xm).otherwise(
+            F.when(rx_set, s - 1 - ym).otherwise(ym)
+        )
+        ny = F.when(ry_set, ym).otherwise(
+            F.when(rx_set, s - 1 - xm).otherwise(xm)
+        )
+        return F.struct(
+            nx.alias("x"), ny.alias("y"), (ad + s * s * digit).alias("d")
+        )
+
+    return F.aggregate(planes, init, step, lambda acc: acc.getField("d"))

@@ -1818,3 +1818,43 @@ SELECT ga, gb, k_used, n_common,
             END * n_common // k_used AS est_inter_e3
 FROM agg
 """
+
+
+def sql_hilbert_index(order: int = 8) -> str:
+    """Replay of q_hilbert_index: identical IEEE grid-cell assignment, then
+    the Hilbert xy->d recurrence as a recursive CTE — one iteration per bit
+    plane carrying (x, y, d), the masked-rotation variant of
+    functions/cells.py::hilbert_d_col so every intermediate is a
+    non-negative BIGINT in both engines."""
+    n = 1 << order
+    return f"""
+WITH RECURSIVE {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+pts AS (
+  SELECT image_id,
+    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS gx,
+    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT) AS gy
+  FROM fp
+),
+hil AS (
+  SELECT image_id, gx, gy, gx AS x, gy AS y,
+         CAST(0 AS BIGINT) AS d, {order - 1} AS i
+  FROM pts
+  UNION ALL
+  SELECT image_id, gx, gy,
+    CASE WHEN ((y >> i) & 1) = 1 THEN x & ((1::BIGINT << i) - 1)
+         WHEN ((x >> i) & 1) = 1
+           THEN (1::BIGINT << i) - 1 - (y & ((1::BIGINT << i) - 1))
+         ELSE y & ((1::BIGINT << i) - 1) END AS x,
+    CASE WHEN ((y >> i) & 1) = 1 THEN y & ((1::BIGINT << i) - 1)
+         WHEN ((x >> i) & 1) = 1
+           THEN (1::BIGINT << i) - 1 - (x & ((1::BIGINT << i) - 1))
+         ELSE x & ((1::BIGINT << i) - 1) END AS y,
+    d + (1::BIGINT << i) * (1::BIGINT << i)
+      * CAST(xor(CASE WHEN ((x >> i) & 1) = 1 THEN 3 ELSE 0 END,
+                 (y >> i) & 1) AS BIGINT) AS d,
+    i - 1 AS i
+  FROM hil WHERE i >= 0
+)
+SELECT image_id, gx, gy, d AS hkey
+FROM hil WHERE i = -1
+"""

@@ -242,3 +242,73 @@ def test_geohash_prefix_property(spark):
     df = e.q_geohash_cells(spark, "/root/testdata/sf0.001")
     bad = df.where("substr(gh5, 1, 3) <> gh3").count()
     assert bad == 0
+
+
+# --- Hilbert curve index ---------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from stac_catalog_builder_spark.functions.cells import (
+    _hilbert_xy_to_d,
+    hilbert_d_col,
+)
+
+
+def test_hilbert_col_matches_numpy_exhaustive(spark):
+    """Every point of the order-4 grid (16x16) — the JVM fold must equal the
+    numpy reference bit-for-bit (the masked rotation is algebraically
+    identical to the reference's unmasked one: mod-2^k subtraction keeps
+    all consulted low bits equal)."""
+    order, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = (
+        df.select("x", "y", hilbert_d_col(F.col("x"), F.col("y"), order).alias("d"))
+        .toPandas()
+        .sort_values(["x", "y"])
+    )
+    want = _hilbert_xy_to_d(order, got["x"].to_numpy(), got["y"].to_numpy())
+    assert (got["d"].to_numpy() == want).all()
+    # bijectivity: d is a permutation of 0..n^2-1
+    assert sorted(got["d"]) == list(range(n * n))
+
+
+def test_hilbert_col_matches_numpy_random_order16(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 16, 300)
+    ys = rng.integers(0, 1 << 16, 300)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    got = df.select(
+        "x", "y", hilbert_d_col(F.col("x"), F.col("y"), 16).alias("d")
+    ).toPandas()
+    want = _hilbert_xy_to_d(16, got["x"].to_numpy(), got["y"].to_numpy())
+    assert (got["d"].to_numpy() == want).all()
+
+
+def test_hilbert_adjacency_and_quadrant_recursion():
+    """The two properties that make Hilbert the LAYOUT key: consecutive d
+    are always unit-step grid neighbors (no Z-order teleports), and each
+    quarter of the d-range fills exactly one quadrant (recursive locality).
+    Checked on the numpy reference the JVM fold is pinned to."""
+    order, n = 5, 32
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = _hilbert_xy_to_d(order, xs.ravel(), ys.ravel())
+    by_d = np.empty((n * n, 2), dtype=np.int64)
+    by_d[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    steps = np.abs(np.diff(by_d, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+    quarter = by_d[: n * n // 4]
+    assert quarter[:, 0].max() - quarter[:, 0].min() < n // 2
+    assert quarter[:, 1].max() - quarter[:, 1].min() < n // 2
+
+
+def test_hilbert_order_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hilbert_d_col(F.lit(0), F.lit(0), 0)
+    with _pytest.raises(ValueError):
+        hilbert_d_col(F.lit(0), F.lit(0), 32)

@@ -786,3 +786,9 @@ def test_corpus_overlap_exact_vs_duckdb(spark, con):
     end: the fmix32 63-bit hash, ROW_NUMBER bottom-k, merged membership
     flags, and the single floating-point kth-min estimator division."""
     _assert_parity(e.q_corpus_overlap(spark, SF), con, oracles.sql_corpus_overlap())
+
+
+def test_hilbert_index_exact_vs_duckdb(spark, con):
+    """The Hilbert xy->d fold replayed as a DuckDB recursive CTE — one
+    iteration per bit plane, masked rotations, exact int64."""
+    _assert_parity(e.q_hilbert_index(spark, SF), con, oracles.sql_hilbert_index())
