@@ -1593,6 +1593,43 @@ def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DBSCAN_RES, DBSCAN_MIN_PTS = 6, 3
+
+
+def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays counts -> core
+    cells -> neighbor edges -> recursive-CTE components -> border adoption
+    in DuckDB value-exactly; tests/test_clustering.py pins a numpy
+    flood-fill oracle incl. antimeridian wrap): grid DBSCAN over scene
+    centroids at res 6 (128x64 cells, min_pts 3) — contiguous acquisition
+    sites as connected components of dense cells, with border cells
+    adopting their minimum core-neighbor cluster; only the per-cell count
+    aggregate touches the fact table
+    (operators/clustering.py::grid_dbscan)."""
+    from stac_catalog_builder_spark.operators.clustering import grid_dbscan
+
+    return grid_dbscan(
+        _images_fp(spark, sf_dir), "lon", "lat", DBSCAN_RES, DBSCAN_MIN_PTS
+    )
+
+
+PATCH_SIZE, PATCH_STRIDE = 64, 48
+
+
+def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the lattice explode
+    and the integer pixel->geo affine in DuckDB value-exactly;
+    tests/test_patches.py pins a numpy oracle, tail/alignment/too-small
+    edge cases and the zero-Exchange plan): every image (1-in-5 slice)
+    exploded into its 64px/stride-48 georeferenced patch lattice — patch
+    pixel origins plus exact micro-degree patch bboxes, zero pixel decodes
+    (operators/patches.py::patch_grid)."""
+    from stac_catalog_builder_spark.operators.patches import patch_grid
+
+    imgs = _images_fp(spark, sf_dir).where(F.col("img_key") % 5 == 0)
+    return patch_grid(imgs, patch=PATCH_SIZE, stride=PATCH_STRIDE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1698,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_stats": q_revisit_stats,
         "corpus_overlap": q_corpus_overlap,
         "hilbert_index": q_hilbert_index,
+        "spatial_clusters": q_spatial_clusters,
+        "patch_grid": q_patch_grid,
     }
 
 

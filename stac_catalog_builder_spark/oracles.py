@@ -1858,3 +1858,114 @@ hil AS (
 SELECT image_id, gx, gy, d AS hkey
 FROM hil WHERE i = -1
 """
+
+
+def sql_spatial_clusters(res: int = 6, min_pts: int = 3) -> str:
+    """Replay of q_spatial_clusters: identical IEEE cell assignment, core
+    selection, half-neighborhood edge join (wrap-x, clamp-y),
+    recursive-CTE min-label connected components, and min-cluster border
+    adoption — exact int64 end to end."""
+    nx, ny = 2 ** (res + 1), 2**res
+    half = ", ".join(f"({dx}, {dy})" for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1)))
+    all8 = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+WITH RECURSIVE {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+cellxy AS (
+  SELECT
+    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS cx,
+    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS cy
+  FROM fp
+),
+counts AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_points, cy * {nx} + cx AS cell
+  FROM cellxy GROUP BY cx, cy
+),
+core AS (SELECT * FROM counts WHERE n_points >= {min_pts}),
+offs(dx, dy) AS (VALUES {half}),
+edges AS (
+  SELECT c.cell AS u, n.cell AS v
+  FROM core c CROSS JOIN offs o
+  JOIN core n ON n.cx = (c.cx + o.dx + {nx}) % {nx} AND n.cy = c.cy + o.dy
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+lab(node, label) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT s.v, l.label FROM sym s JOIN lab l ON l.node = s.u
+),
+comp AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node),
+core_lab AS (
+  SELECT c.cell, c.cx, c.cy, c.n_points,
+         COALESCE(p.component, c.cell) AS cluster, TRUE AS is_core
+  FROM core c LEFT JOIN comp p ON p.node = c.cell
+),
+offs8(dx, dy) AS (VALUES {all8}),
+border AS (
+  SELECT nc.cell, nc.cx, nc.cy, nc.n_points,
+         MIN(cl.cluster) AS cluster, FALSE AS is_core
+  FROM counts nc CROSS JOIN offs8 o
+  JOIN core_lab cl
+    ON cl.cx = (nc.cx + o.dx + {nx}) % {nx} AND cl.cy = nc.cy + o.dy
+  WHERE nc.n_points < {min_pts}
+  GROUP BY nc.cell, nc.cx, nc.cy, nc.n_points
+)
+SELECT cell, cx, cy, n_points, cluster, is_core FROM core_lab
+UNION ALL
+SELECT cell, cx, cy, n_points, cluster, is_core FROM border
+"""
+
+
+def sql_patch_grid(patch: int = 64, stride: int = 48) -> str:
+    """Replay of q_patch_grid: per-axis start lists (aligned grid + tail,
+    list_distinct), the row-major patch_id, and the exact integer
+    pixel->geo affine on the micro-degree lattice."""
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+base AS (
+  SELECT image_id, w, h,
+    CAST(FLOOR((fp_w + 180.0) * 40000.0 + 0.5) AS BIGINT) AS xw,
+    CAST(FLOOR((fp_e + 180.0) * 40000.0 + 0.5) AS BIGINT) AS xe,
+    CAST(FLOOR((fp_s +  90.0) * 40000.0 + 0.5) AS BIGINT) AS ys,
+    CAST(FLOOR((fp_n +  90.0) * 40000.0 + 0.5) AS BIGINT) AS yn
+  FROM fp
+  WHERE img_key % 5 = 0 AND w >= {patch} AND h >= {patch}
+),
+axes AS (
+  SELECT *,
+    list_sort(list_distinct(
+      list_append(
+        list_transform(generate_series(0, (w - {patch}) // {stride}),
+                       i -> i * {stride}),
+        w - {patch}))) AS xs,
+    list_sort(list_distinct(
+      list_append(
+        list_transform(generate_series(0, (h - {patch}) // {stride}),
+                       i -> i * {stride}),
+        h - {patch}))) AS ys_arr
+  FROM base
+),
+yrows AS (
+  SELECT image_id, w, h, xw, xe, ys, yn, xs, len(xs) AS nx_p,
+         ys_arr[u.yi] AS py, u.yi AS yi
+  FROM axes, UNNEST(generate_series(1, len(ys_arr))) AS u(yi)
+),
+cells AS (
+  SELECT image_id, w, h, xw, xe, ys, yn, nx_p,
+         py, yi, xs[v.xi] AS px, v.xi AS xi
+  FROM yrows, UNNEST(generate_series(1, len(xs))) AS v(xi)
+)
+SELECT image_id,
+       CAST((yi - 1) * nx_p + (xi - 1) AS BIGINT) AS patch_id,
+       CAST(px AS INT) AS px,
+       CAST(py AS INT) AS py,
+       xw + px * (xe - xw) // w AS g_w_u,
+       xw + (px + {patch}) * (xe - xw) // w AS g_e_u,
+       yn - (py + {patch}) * (yn - ys) // h AS g_s_u,
+       yn - py * (yn - ys) // h AS g_n_u
+FROM cells
+"""

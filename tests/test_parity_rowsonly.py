@@ -792,3 +792,18 @@ def test_hilbert_index_exact_vs_duckdb(spark, con):
     """The Hilbert xy->d fold replayed as a DuckDB recursive CTE — one
     iteration per bit plane, masked rotations, exact int64."""
     _assert_parity(e.q_hilbert_index(spark, SF), con, oracles.sql_hilbert_index())
+
+
+def test_spatial_clusters_exact_vs_duckdb(spark, con):
+    """Grid DBSCAN replayed end to end: cell counts, core selection,
+    wrap-x neighbor edges, recursive-CTE min-label components, and
+    min-cluster border adoption — exact int64."""
+    _assert_parity(
+        e.q_spatial_clusters(spark, SF), con, oracles.sql_spatial_clusters()
+    )
+
+
+def test_patch_grid_exact_vs_duckdb(spark, con):
+    """The patch lattice explode (aligned grid + flush tails) and the
+    integer pixel->geo affine replayed end to end — exact int64."""
+    _assert_parity(e.q_patch_grid(spark, SF), con, oracles.sql_patch_grid())
