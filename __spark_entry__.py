@@ -1630,6 +1630,53 @@ def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_grid(imgs, patch=PATCH_SIZE, stride=PATCH_STRIDE)
 
 
+GAPFILL_STEP_S = 21600  # 6-hour grid
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the tick grid and
+    the forward-fill window in DuckDB value-exactly; tests/test_temporal.py
+    pins a pandas resample oracle plus alignment/staleness edge cases):
+    per-event-type sensor regularization — the last reading as of every
+    6-hour grid tick with its staleness, from one min/max aggregate, a
+    sequence explode and ONE window pass
+    (operators/temporal.py::gap_fill)."""
+    from stac_catalog_builder_spark.operators.temporal import gap_fill
+
+    obs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.unix_timestamp("ts").alias("t_s"),
+            "value",
+        )
+        .groupBy("event_type", "t_s")
+        .agg(F.max("value").alias("v"))
+    )
+    return gap_fill(obs, ["event_type"], "t_s", "v", GAPFILL_STEP_S)
+
+
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the power sums and
+    fixed-point mean/variance in DuckDB value-exactly;
+    tests/test_sketches.py proves merge == direct and the exact numpy
+    twin; tests/test_streaming.py maintains the same state per epoch):
+    algebraic normalization statistics — exact int64 (n, sum, sum-of-
+    squares, min, max) per (asset_type, fmt) over caption lengths, with
+    mean/variance as exact integer fixed-point; the mergeable-moments
+    member of the sketch family (operators/sketches.py::moment_stats)."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        moment_registers,
+        moment_stats,
+    )
+
+    vals = synth.images(spark, sf_dir).select(
+        "asset_type", "fmt", F.length("caption").alias("v")
+    )
+    regs = moment_registers(vals, ["asset_type", "fmt"], "v")
+    return moment_stats(regs, ["asset_type", "fmt"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1737,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_index": q_hilbert_index,
         "spatial_clusters": q_spatial_clusters,
         "patch_grid": q_patch_grid,
+        "gap_fill": q_gap_fill,
+        "moment_stats": q_moment_stats,
     }
 
 

@@ -583,3 +583,76 @@ def hist_quantiles(
         F.expr(f"{lo} + (bin * {hi - lo}) div {n_bins}").alias("bin_lo"),
         F.expr(f"{lo} + ((bin + 1) * {hi - lo}) div {n_bins}").alias("bin_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Algebraic moments: mergeable mean/variance state. Completes the mergeable-
+# state family (extents: min/max; HLL: distinct; CMS: frequency; histogram:
+# quantiles) with the normalization statistics a training pipeline computes
+# over every numeric feature (channel means/stds, caption-length z-scores).
+# With INTEGER inputs the raw power sums (n, sum, sum of squares) are EXACT
+# int64 — the floating-point cancellation that motivates Welford/Chan
+# streaming updates does not exist — so the state is three numbers per
+# group, merge is component-wise sum (one map-side-combined aggregate), and
+# mean/variance come out as exact fixed-point integer divisions both
+# engines replay bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def moment_registers(
+    df: DataFrame, group_cols: list[str], val_col: str
+) -> DataFrame:
+    """Per-group moment state: (group_cols..., n, s1, s2, vmin, vmax).
+
+    ``val_col`` must be integer-valued; NULLs are excluded. Caller bounds
+    (documented, not checked row-wise): ``n * vmax^2 < 2^63`` keeps s2
+    exact, and the stats step further needs ``1000 * n * s2 < 2^63``.
+    One aggregate, map-side combined — the exchange carries 5 numbers per
+    group per partition whatever the input size.
+    """
+    v = F.col(val_col).cast("long")
+    return (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
+
+
+def moment_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge moment states (across batches/epochs or to a coarser
+    grouping): component-wise sum/min/max — algebraic, identical to the
+    state built from the concatenated input. Sum-merged like the CMS, so
+    the streaming path relies on the exactly-once store guards."""
+    return registers.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def moment_stats(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Mean and population variance from a (possibly finer) register table,
+    as exact fixed-point integers: ``mean_e3 = 1000 * s1 div n`` and
+    ``var_e3 = 1000 * (n*s2 - s1^2) div n^2`` — the textbook one-pass
+    identity, exact here because every operand is an int64 (no float
+    cancellation). Output: group_cols..., n, s1, s2, vmin, vmax, mean_e3,
+    var_e3."""
+    merged = moment_merge(registers, group_cols)
+    return merged.select(
+        *group_cols,
+        "n",
+        "s1",
+        "s2",
+        "vmin",
+        "vmax",
+        F.expr("1000 * s1 div n").alias("mean_e3"),
+        F.expr("1000 * (n * s2 - s1 * s1) div (n * n)").alias("var_e3"),
+    )

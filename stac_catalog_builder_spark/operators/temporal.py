@@ -299,3 +299,89 @@ def revisit_stats(
             "mean_gap_s"
         ),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col_s: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Resample each key's irregular time series onto a regular ``step_s``
+    grid with forward fill — the sensor/state regularization every
+    training-data pipeline needs before windowed features, and another op
+    the reference (pure per-item ETL) has no surface for.
+
+    Input: one row per (key, ``ts_col_s``) observation — int64 epoch
+    seconds, UNIQUE per key (pre-aggregate ties upstream; the fill is
+    order-dependent at tied timestamps otherwise). Output, one row per
+    grid tick per key:
+    - ``tick_s``: step-aligned epoch seconds, from the first aligned tick
+      at-or-after the key's first observation (so no tick lacks a
+      preceding value — no NULL band at the front) to the last tick
+      at-or-before its final observation;
+    - ``value``: the observation value as of the tick (inclusive);
+    - ``age_s``: tick_s - observation ts (staleness — 0 when a sample
+      lands exactly on the grid).
+
+    Shape: one map-side-combined min/max aggregate per key (dimension-
+    sized), a ``sequence`` explode of the tick grid, and ONE window pass
+    over (observations ∪ ticks) ordered by (ts, side) — obs sort before
+    ticks at equal ts, so ``last(..., ignorenulls)`` implements the
+    inclusive carry-forward. Both shuffles hash the same key columns, so
+    AQE/exchange reuse collapses them where sizes allow. Keys are the
+    parallelism unit: a single key's series serializes through one task —
+    at 10^12 rows resample per (entity, shard) like the deterministic-
+    shuffle block decomposition if single entities outgrow a task.
+    """
+    if step_s < 1:
+        raise ValueError(f"step_s must be >= 1, got {step_s}")
+    obs = df.select(
+        *key_cols,
+        F.col(ts_col_s).cast("long").alias("_ts"),
+        F.col(value_col).alias("_val"),
+    )
+    rng = obs.groupBy(*key_cols).agg(
+        F.min("_ts").alias("_t0"), F.max("_ts").alias("_t1")
+    )
+    start = F.expr(f"((_t0 + {step_s} - 1) div {step_s}) * {step_s}")
+    stop = F.expr(f"(_t1 div {step_s}) * {step_s}")
+    ticks = (
+        rng.select(*key_cols, start.alias("_a"), stop.alias("_b"))
+        .where(F.col("_a") <= F.col("_b"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_a"), F.col("_b"), F.lit(step_s).cast("long"))
+            ).alias("_ts"),
+        )
+    )
+    unioned = obs.select(
+        *key_cols, "_ts", F.lit(0).alias("_side"), "_val",
+        F.col("_ts").alias("_obs_ts"),
+    ).unionByName(
+        ticks.select(
+            *key_cols, "_ts", F.lit(1).alias("_side"),
+            F.lit(None).cast(obs.schema["_val"].dataType).alias("_val"),
+            F.lit(None).cast("long").alias("_obs_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *key_cols,
+        "_ts",
+        "_side",
+        F.last("_val", ignorenulls=True).over(w).alias("value"),
+        F.last("_obs_ts", ignorenulls=True).over(w).alias("_src_ts"),
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *key_cols,
+        F.col("_ts").alias("tick_s"),
+        "value",
+        (F.col("_ts") - F.col("_src_ts")).alias("age_s"),
+    )

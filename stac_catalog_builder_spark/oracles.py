@@ -1969,3 +1969,65 @@ SELECT image_id,
        yn - py * (yn - ys) // h AS g_n_u
 FROM cells
 """
+
+
+def sql_gap_fill(step_s: int = 21600) -> str:
+    """Replay of q_gap_fill: second-truncated dedup (max value per tied
+    second), the aligned tick grid, and the (ts, side)-ordered
+    last-IGNORE-NULLS forward fill — int64 everywhere except the carried
+    DOUBLE value, which passes through both engines unchanged."""
+    return f"""
+WITH obs AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_s,
+         MAX(value) AS v
+  FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts)) AS BIGINT)
+),
+rng AS (
+  SELECT event_type,
+         ((MIN(t_s) + {step_s} - 1) // {step_s}) * {step_s} AS a,
+         (MAX(t_s) // {step_s}) * {step_s} AS b
+  FROM obs GROUP BY event_type
+),
+ticks AS (
+  SELECT event_type, u.t AS t_s
+  FROM rng, UNNEST(generate_series(a, b, {step_s})) AS u(t)
+  WHERE a <= b
+),
+unioned AS (
+  SELECT event_type, t_s, 0 AS side, v, t_s AS src_ts FROM obs
+  UNION ALL
+  SELECT event_type, t_s, 1, NULL, NULL FROM ticks
+),
+filled AS (
+  SELECT event_type, t_s, side,
+         LAST_VALUE(v IGNORE NULLS) OVER w AS value,
+         LAST_VALUE(src_ts IGNORE NULLS) OVER w AS src_ts
+  FROM unioned
+  WINDOW w AS (PARTITION BY event_type ORDER BY t_s, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, t_s AS tick_s, value, t_s - src_ts AS age_s
+FROM filled WHERE side = 1
+"""
+
+
+def sql_moment_stats() -> str:
+    """Replay of q_moment_stats: exact int64 power sums per (asset_type,
+    fmt) over caption lengths, mean/variance as the same fixed-point
+    integer divisions."""
+    return f"""
+WITH {IMAGES_CTE.strip()},
+vals AS (SELECT asset_type, fmt, CAST(length(caption) AS BIGINT) AS v FROM images),
+regs AS (
+  SELECT asset_type, fmt,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM vals GROUP BY asset_type, fmt
+)
+SELECT asset_type, fmt, n, s1, s2, vmin, vmax,
+       1000 * s1 // n AS mean_e3,
+       1000 * (n * s2 - s1 * s1) // (n * n) AS var_e3
+FROM regs
+"""

@@ -229,3 +229,44 @@ def current_hist(
 
     regs = store.read_stage(spark, stage).drop("part_key")
     return hist_merge(regs, list(group_cols))
+
+
+def run_moment_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    group_cols: list[str],
+    val_col: str,
+    stage: str = "moment_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming normalization-statistics maintenance: each micro-batch
+    reduces to its moment state (5 numbers per group —
+    operators/sketches.moment_registers) committed under its epoch. Like
+    the CMS (and unlike the HLL max), the merge SUMS, so exactly-once
+    delivery is load-bearing — both store guards are exercised."""
+    from ..operators.sketches import moment_registers
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: moment_registers(batch, list(group_cols), val_col),
+        stage=stage,
+        max_files=max_files,
+    )
+
+
+def current_moments(
+    spark: SparkSession,
+    store,
+    group_cols: list[str],
+    stage: str = "moment_increments",
+) -> DataFrame:
+    """Live mean/variance: component-wise merge over all committed epoch
+    increments, then the exact fixed-point stats — bit-equal to computing
+    the state from the full history (tests/test_streaming.py asserts it)."""
+    from ..operators.sketches import moment_stats
+
+    regs = store.read_stage(spark, stage).drop("part_key")
+    return moment_stats(regs, list(group_cols))

@@ -56,7 +56,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("orders", "nation", "documents"):
+    for t in ("orders", "nation", "documents", "events"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
@@ -807,3 +807,14 @@ def test_patch_grid_exact_vs_duckdb(spark, con):
     """The patch lattice explode (aligned grid + flush tails) and the
     integer pixel->geo affine replayed end to end — exact int64."""
     _assert_parity(e.q_patch_grid(spark, SF), con, oracles.sql_patch_grid())
+
+
+def test_gap_fill_exact_vs_duckdb(spark, con):
+    """Tick grid + (ts, side)-ordered forward fill replayed end to end —
+    exact int64 grid/staleness, the DOUBLE value carried unchanged."""
+    _assert_parity(e.q_gap_fill(spark, SF), con, oracles.sql_gap_fill())
+
+
+def test_moment_stats_exact_vs_duckdb(spark, con):
+    """Power sums + fixed-point mean/variance replayed — exact int64."""
+    _assert_parity(e.q_moment_stats(spark, SF), con, oracles.sql_moment_stats())

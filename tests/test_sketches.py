@@ -398,3 +398,59 @@ def test_kmv_plan_windowgrouplimit(spark, two_corpora):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- algebraic moments -----------------------------------------------------
+
+from stac_catalog_builder_spark.operators.sketches import (
+    moment_merge,
+    moment_registers,
+    moment_stats,
+)
+
+
+def test_moments_match_numpy_exact(spark, assigned):
+    """Power sums and the fixed-point mean/variance vs exact python-int
+    arithmetic on the same values — no tolerance."""
+    vals = assigned.select("collection_id", (F.col("phash") % 1000).alias("v"))
+    got = {r["collection_id"]: r for r in
+           moment_stats(moment_registers(vals, ["collection_id"], "v"),
+                        ["collection_id"]).collect()}
+    rows = vals.collect()
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in rows:
+        by[r["collection_id"]].append(int(r["v"]))
+    for cid, vs in by.items():
+        n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        r = got[cid]
+        assert (r["n"], r["s1"], r["s2"]) == (n, s1, s2)
+        assert (r["vmin"], r["vmax"]) == (min(vs), max(vs))
+        assert r["mean_e3"] == 1000 * s1 // n
+        assert r["var_e3"] == 1000 * (n * s2 - s1 * s1) // (n * n)
+
+
+def test_moments_merge_equals_direct(spark, assigned):
+    """Registers per (collection, tile) merged to collection == registers
+    built directly per collection; and a two-batch union merged == direct —
+    the algebraic property the streaming maintenance relies on."""
+    vals = assigned.select(
+        "collection_id", "tile_id", (F.col("phash") % 1000).alias("v")
+    )
+    fine = moment_registers(vals, ["collection_id", "tile_id"], "v")
+    merged = moment_merge(fine, ["collection_id"]).orderBy("collection_id")
+    direct = moment_registers(vals, ["collection_id"], "v").orderBy("collection_id")
+    assert [r.asDict() for r in merged.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]
+    b1 = vals.where(F.col("v") % 2 == 0)
+    b2 = vals.where(F.col("v") % 2 == 1)
+    unioned = moment_merge(
+        moment_registers(b1, ["collection_id"], "v").unionByName(
+            moment_registers(b2, ["collection_id"], "v")
+        ),
+        ["collection_id"],
+    ).orderBy("collection_id")
+    assert [r.asDict() for r in unioned.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]

@@ -275,3 +275,46 @@ def test_streaming_hist_maintenance_equals_batch(spark, tmp_path):
     n_snaps = len(store.snapshots("hist_increments"))
     sx.run_hist_maintenance(spark, src, store, *args)
     assert len(store.snapshots("hist_increments")) == n_snaps
+
+
+def test_streaming_moment_maintenance_equals_batch(spark, tmp_path):
+    """Streaming moments maintenance: per-epoch power-sum increments
+    sum-merged at read time == the from-scratch batch state exactly
+    (mean/variance included — integer fixed-point, no tolerance); replay
+    is a no-op (the sum-merge would double-count without the store's
+    exactly-once guards)."""
+    from pyspark.sql import functions as F
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators.sketches import (
+        moment_registers,
+        moment_stats,
+    )
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    vals = synth.images(spark, "/root/testdata/sf0.001").select(
+        "asset_type", F.length("caption").alias("v")
+    )
+    src = str(tmp_path / "vals_moment_stream")
+    vals.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_moment_maintenance(spark, src, store, ["asset_type"], "v")
+    assert len(store.snapshots("moment_increments")) >= 2
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    live = canon(sx.current_moments(spark, store, ["asset_type"]))
+    batch = canon(
+        moment_stats(
+            moment_registers(spark.read.parquet(src), ["asset_type"], "v"),
+            ["asset_type"],
+        )
+    )
+    assert live == batch and len(live) > 0
+
+    n_snaps = len(store.snapshots("moment_increments"))
+    sx.run_moment_maintenance(spark, src, store, ["asset_type"], "v")
+    assert len(store.snapshots("moment_increments")) == n_snaps
+    assert canon(sx.current_moments(spark, store, ["asset_type"])) == batch

@@ -255,3 +255,70 @@ def test_revisit_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- gap_fill ---------------------------------------------------------------
+
+from stac_catalog_builder_spark.operators.temporal import gap_fill
+
+
+def _gap_fill_py(rows, step):
+    """Reference resample: rows = [(key, t_s, v)] with unique (key, t_s)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, v in rows:
+        by_key[k].append((t, v))
+    out = set()
+    for k, series in by_key.items():
+        series.sort()
+        t0, t1 = series[0][0], series[-1][0]
+        tick = ((t0 + step - 1) // step) * step
+        while tick <= (t1 // step) * step:
+            src = max((t, v) for t, v in series if t <= tick)
+            out.add((k, tick, src[1], tick - src[0]))
+            tick += step
+    return out
+
+
+def test_gap_fill_matches_reference(spark):
+    rows = [
+        ("a", 100, 1.5), ("a", 130, 2.5), ("a", 400, 3.5), ("a", 1250, 4.5),
+        ("b", 0, 9.0), ("b", 1000, 8.0),
+        ("c", 50, 7.0),          # span < one aligned tick -> no output
+        ("d", 200, 5.0),         # singleton exactly on grid -> one tick, age 0
+    ]
+    df = spark.createDataFrame(rows, "k string, t_s long, v double")
+    got = {
+        (r["k"], r["tick_s"], r["value"], r["age_s"])
+        for r in gap_fill(df, ["k"], "t_s", "v", 100).collect()
+    }
+    want = _gap_fill_py(rows, 100)
+    assert got == want
+    # spot semantics: on-grid sample has age 0; long gaps carry forward
+    assert ("d", 200, 5.0, 0) in got
+    assert ("a", 1200, 3.5, 800) in got
+    assert not any(r[0] == "c" for r in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gap_fill(df, ["k"], "t_s", "v", 0)
+
+
+def test_gap_fill_entry_matches_pandas(spark):
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    obs = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_type AS k", "unix_timestamp(ts) AS t_s", "value AS v")
+        .groupBy("k", "t_s")
+        .agg(F.max("v").alias("v"))
+        .collect()
+    )
+    want = _gap_fill_py([(r["k"], r["t_s"], r["v"]) for r in obs], e.GAPFILL_STEP_S)
+    got = {
+        (r["event_type"], r["tick_s"], r["value"], r["age_s"])
+        for r in e.q_gap_fill(spark, SF).collect()
+    }
+    assert got == want and len(got) > 400
