@@ -1677,6 +1677,21 @@ def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_stats(regs, ["asset_type", "fmt"])
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the scramble rank
+    in DuckDB value-exactly; tests/test_sampling.py pins exact-k,
+    prefix-nesting, repartition-invariance, and the WindowGroupLimit
+    plan): exactly-7-per-(lang, source) deterministic sample of the
+    documents corpus — the reproducible reservoir-sample replacement for
+    eval-set quotas (operators/sampling.py::group_sample)."""
+    from stac_catalog_builder_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return group_sample(docs, ["lang", "source"], "doc_id", k=7, salt=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1786,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_grid": q_patch_grid,
         "gap_fill": q_gap_fill,
         "moment_stats": q_moment_stats,
+        "group_sample": q_group_sample,
     }
 
 

@@ -155,6 +155,54 @@ def stratified_sample(
     return df.where(b < F.lit(int(float(fractions) * _MOD)))
 
 
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    k: int = 10,
+    salt: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen uniformly and
+    deterministically: rank each group's rows by the key scramble and keep
+    the first ``k``. This is the distributed, reproducible replacement for
+    per-group reservoir sampling — eval-set construction ("5000 images per
+    collection"), per-domain inspection samples, few-shot pools — where
+    ``stratified_sample``'s rate-based filter cannot promise an exact count
+    and an RNG reservoir changes membership on every retry.
+
+    Properties the hash ordering buys for free:
+
+    - **prefix-nested**: the k-sample is a prefix of the (k+m)-sample for
+      the same salt, so growing a quota never discards already-selected
+      (and possibly already-labelled) rows;
+    - **stable**: membership and ranks depend only on (key, salt), never on
+      partitioning or task retries;
+    - **per-salt independent**: a new salt draws a fresh sample.
+
+    Scalable shape: the rank-``k`` filter over the window compiles to
+    ``WindowGroupLimit`` (plan-asserted in tests), so every map task
+    forwards at most ``k`` rows per group BEFORE the exchange — a hot group
+    contributes O(k * input partitions) rows to its reducer, never its full
+    membership, and no task ever holds a group's whole ranking. One
+    shuffle, zero UDFs, exactly SQL-replayable (rank == ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY bucket, key), pinned vs DuckDB).
+
+    Keys are assumed unique per group (the shared contract of every
+    sampler here); duplicate keys would tie in the order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= F.lit(int(k))
+    )
+
+
 def upsample(
     df: DataFrame,
     rate: float,

@@ -2031,3 +2031,19 @@ SELECT asset_type, fmt, n, s1, s2, vmin, vmax,
        1000 * (n * s2 - s1 * s1) // (n * n) AS var_e3
 FROM regs
 """
+
+
+def sql_group_sample(k: int = 7, salt: int = 3) -> str:
+    """Replay of q_group_sample: ROW_NUMBER per (lang, source) ordered by
+    the 31-bit key scramble, keep rank <= k — exact int64 end to end."""
+    return f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+           ORDER BY ({_bucket31_sql('doc_id', salt)}), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {int(k)}
+"""

@@ -818,3 +818,9 @@ def test_gap_fill_exact_vs_duckdb(spark, con):
 def test_moment_stats_exact_vs_duckdb(spark, con):
     """Power sums + fixed-point mean/variance replayed — exact int64."""
     _assert_parity(e.q_moment_stats(spark, SF), con, oracles.sql_moment_stats())
+
+
+def test_group_sample_exact_vs_duckdb(spark, con):
+    """The scramble rank (ROW_NUMBER over bucket, key) and the k filter
+    replayed end to end — exact int64."""
+    _assert_parity(e.q_group_sample(spark, SF), con, oracles.sql_group_sample())

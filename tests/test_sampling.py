@@ -283,3 +283,87 @@ def test_temperature_plan_fact_side_never_shuffles_for_the_filter(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- group_sample (exactly-k-per-group deterministic sample) ---------------
+
+
+def test_group_sample_exact_k_per_group(spark):
+    from stac_catalog_builder_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    out = group_sample(docs, ["lang", "source"], "doc_id", k=7, salt=3)
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(totals)  # no group dropped
+    for g, n in sizes.items():
+        assert n == min(7, totals[g]), g
+    # ranks are dense 1..n per group
+    ranks = out.groupBy("lang", "source").agg(
+        F.min("sample_rank").alias("lo"), F.max("sample_rank").alias("hi")
+    )
+    for r in ranks.collect():
+        assert r.lo == 1 and r.hi == sizes[(r.lang, r.source)]
+
+
+def test_group_sample_prefix_nested_and_repartition_invariant(spark):
+    from stac_catalog_builder_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    small = {
+        (r.lang, r.source, r.doc_id)
+        for r in group_sample(docs, ["lang", "source"], "doc_id", k=3, salt=5).collect()
+    }
+    big = {
+        (r.lang, r.source, r.doc_id)
+        for r in group_sample(docs, ["lang", "source"], "doc_id", k=9, salt=5).collect()
+    }
+    assert small < big  # growing the quota keeps every selected row
+    re = {
+        (r.lang, r.source, r.doc_id)
+        for r in group_sample(
+            docs.repartition(13), ["lang", "source"], "doc_id", k=3, salt=5
+        ).collect()
+    }
+    assert re == small
+    other_salt = {
+        (r.lang, r.source, r.doc_id)
+        for r in group_sample(docs, ["lang", "source"], "doc_id", k=3, salt=6).collect()
+    }
+    assert other_salt != small  # a new salt draws a fresh sample
+
+
+def test_group_sample_plan_is_window_group_limit(spark):
+    """The rank filter must compile to a map-side partial WindowGroupLimit:
+    a hot group then forwards at most k rows per input partition instead of
+    its full membership."""
+    from stac_catalog_builder_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    plan = (
+        group_sample(docs, ["lang", "source"], "doc_id", k=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
+
+
+def test_group_sample_k_guard(spark):
+    from stac_catalog_builder_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        group_sample(docs, ["lang"], "doc_id", k=0)
