@@ -1692,6 +1692,33 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sample(docs, ["lang", "source"], "doc_id", k=7, salt=3)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the change-point
+    windows in DuckDB value-exactly; tests/test_diff.py pins the
+    reconstruction property, one-is_current-per-key, and the
+    single-Exchange plan): SCD-type-2 validity intervals over a 3-version
+    synthetic reprocessing history of the image catalog — cloud_pct and
+    status evolve deterministically per key, and the history collapses to
+    one row per (image, run of identical state)
+    (operators/diff.py::scd2_history)."""
+    from stac_catalog_builder_spark.operators.diff import scd2_history
+
+    img = synth.images(spark, sf_dir).select("img_key", "image_id", "phash")
+    hist = img.withColumn("v", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+    cloud = (
+        F.col("phash") % 100
+        + F.when((F.col("v") >= 1) & (F.col("img_key") % 3 == 0), 7).otherwise(0)
+        + F.when((F.col("v") >= 2) & (F.col("img_key") % 4 == 0), 11).otherwise(0)
+    ).cast("int")
+    status = F.when(
+        (F.col("v") >= 1) & (F.col("img_key") % 5 == 0), F.lit("reprocessed")
+    ).otherwise(F.lit("published"))
+    hist = hist.select(
+        "image_id", "v", cloud.alias("cloud_pct"), status.alias("status")
+    )
+    return scd2_history(hist, ["image_id"], "v", ["cloud_pct", "status"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1802,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "moment_stats": q_moment_stats,
         "group_sample": q_group_sample,
+        "scd2_history": q_scd2_history,
     }
 
 

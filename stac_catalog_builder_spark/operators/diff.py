@@ -105,3 +105,54 @@ def snapshot_apply(
         for c in compare_cols
     ]
     return j.where(ct.isNull() | (ct != "removed")).select(*out_keys, *vals)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Collapse a versioned observation history into SCD-type-2 validity
+    intervals: one row per (key, run of identical state), with
+    ``valid_from`` / ``valid_to`` version bounds and ``is_current``.
+
+    This is the bitemporal complement of ``snapshot_diff``: diff answers
+    "what changed between two snapshots", this answers "what was true
+    WHEN" across the whole snapshot series — the catalog-history table a
+    lakehouse keeps next to the live view (Iceberg's snapshot log stores
+    file-level lineage; this derives the row-level timeline from it).
+
+    Semantics: within each key, versions are ordered; a row OPENS an
+    interval iff it is the key's first observation or any compare column
+    differs null-safely from the previous version's. ``valid_to`` is the
+    next interval's ``valid_from`` (half-open, NULL while current). A key
+    absent from intermediate snapshots keeps its last state (the catalog
+    contract: items are observed, not tombstoned — deletions arrive as
+    explicit rows if the source has them).
+
+    Scale design: both window passes partition by the SAME keys, so Spark
+    plans ONE exchange and reuses its partitioning for the second window
+    (plan-asserted in tests); change detection is null-safe codegen
+    compares, no UDFs, no join. Versions-per-key is bounded (snapshot
+    count), so no window partition can outgrow a task even at 10^12 keys.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(version_col)
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+            for c in compare_cols
+        ],
+    )
+    opens = F.when(F.row_number().over(w) == 1, F.lit(True)).otherwise(changed)
+    starts = df.withColumn("_opens", opens).where(F.col("_opens")).drop("_opens")
+    return starts.select(
+        *keys,
+        F.col(version_col).alias("valid_from"),
+        F.lead(F.col(version_col)).over(w).alias("valid_to"),
+        F.lead(F.col(version_col)).over(w).isNull().alias("is_current"),
+        *compare_cols,
+    )

@@ -2047,3 +2047,38 @@ FROM (
 )
 WHERE rn <= {int(k)}
 """
+
+
+def sql_scd2_history() -> str:
+    """Replay of q_scd2_history: the 3-version synthetic reprocessing
+    history, change-point detection via null-safe lag compares, interval
+    close via lead — exact int/string end to end."""
+    return f"""
+WITH {IMAGES_CTE.strip()},
+hist AS (
+  SELECT image_id, CAST(v AS INT) AS v,
+    CAST(phash % 100
+         + CASE WHEN v >= 1 AND img_key % 3 = 0 THEN 7 ELSE 0 END
+         + CASE WHEN v >= 2 AND img_key % 4 = 0 THEN 11 ELSE 0 END AS INT)
+      AS cloud_pct,
+    CASE WHEN v >= 1 AND img_key % 5 = 0
+         THEN 'reprocessed' ELSE 'published' END AS status
+  FROM images, UNNEST([0, 1, 2]) AS u(v)
+),
+marked AS (
+  SELECT image_id, v, cloud_pct, status,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(cloud_pct) OVER w AS pc,
+         LAG(status) OVER w AS ps
+  FROM hist WINDOW w AS (PARTITION BY image_id ORDER BY v)
+),
+starts AS (
+  SELECT image_id, v, cloud_pct, status FROM marked
+  WHERE rn = 1 OR cloud_pct IS DISTINCT FROM pc OR status IS DISTINCT FROM ps
+)
+SELECT image_id, v AS valid_from,
+       LEAD(v) OVER w2 AS valid_to,
+       LEAD(v) OVER w2 IS NULL AS is_current,
+       cloud_pct, status
+FROM starts WINDOW w2 AS (PARTITION BY image_id ORDER BY v)
+"""

@@ -824,3 +824,9 @@ def test_group_sample_exact_vs_duckdb(spark, con):
     """The scramble rank (ROW_NUMBER over bucket, key) and the k filter
     replayed end to end — exact int64."""
     _assert_parity(e.q_group_sample(spark, SF), con, oracles.sql_group_sample())
+
+
+def test_scd2_history_exact_vs_duckdb(spark, con):
+    """Change-point windows (null-safe lag compares) + interval close
+    (lead) replayed end to end — exact int/string."""
+    _assert_parity(e.q_scd2_history(spark, SF), con, oracles.sql_scd2_history())
