@@ -1719,6 +1719,25 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(hist, ["image_id"], "v", ["cloud_pct", "status"])
 
 
+def q_fixity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays sha256 canon +
+    both combining lanes in DuckDB value-exactly; tests/test_sketches.py
+    pins the hashlib twin, merge == direct, corruption/duplicate
+    detection): per-(asset_type, fmt) content-integrity digests of the
+    image catalog — n_items plus order-invariant sum-mod-P and xor lanes
+    over each row's sha256, the three-numbers-per-collection audit that
+    replaces comparing 10^12 hashes after a migration
+    (operators/sketches.py::fixity_registers)."""
+    from stac_catalog_builder_spark.operators.sketches import fixity_registers
+
+    img = synth.images(spark, sf_dir).select(
+        "asset_type", "fmt", "image_id", "caption", "w", "h"
+    )
+    return fixity_registers(
+        img, ["asset_type", "fmt"], ["image_id", "caption", "w", "h"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1830,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_stats": q_moment_stats,
         "group_sample": q_group_sample,
         "scd2_history": q_scd2_history,
+        "fixity_audit": q_fixity_audit,
     }
 
 

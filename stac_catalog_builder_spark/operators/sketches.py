@@ -656,3 +656,88 @@ def moment_stats(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         F.expr("1000 * s1 div n").alias("mean_e3"),
         F.expr("1000 * (n * s2 - s1 * s1) div (n * n)").alias("var_e3"),
     )
+
+
+# --- fixity: mergeable content-integrity digests ---------------------------
+
+FIXITY_P = 2305843009213693951  # 2^61 - 1, the sum-lane modulus
+_FIXITY_SEP = "\x1f"  # US control char: cannot appear in catalog text fields
+_FIXITY_NULL = "\x00"  # distinguishes NULL from empty string in the canon
+
+
+def with_sha256(
+    df: DataFrame, content_cols: list[str], out_col: str = "sha256"
+) -> DataFrame:
+    """Per-row content digest: sha256 over the canonical serialization of
+    ``content_cols`` (values cast to string, NULL encoded as ``\\x00``,
+    joined on ``\\x1f``). Pure JVM (``sha2``), no UDF; the canon is
+    engine-independent, so DuckDB's ``sha256`` reproduces it bit-for-bit.
+    The separator is a control character that cannot occur in catalog text
+    fields — callers hashing raw binary payloads should hash the payload
+    column alone (sha2 accepts binary directly)."""
+    canon = F.concat_ws(
+        _FIXITY_SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_FIXITY_NULL))
+            for c in content_cols
+        ],
+    )
+    return df.withColumn(out_col, F.sha2(canon, 256))
+
+
+def _fixity_lane(sha_col: str) -> Column:
+    # first 12 hex digits -> int64 < 2^48: small enough that a decimal(38)
+    # sum holds 10^12 rows with 2^40 headroom, big enough that a forged
+    # collision needs 2^24 attempts per MULTISET (birthday bound) on top of
+    # breaking the two independent combining lanes
+    return F.conv(F.substring(F.col(sha_col), 1, 12), 16, 10).cast("bigint")
+
+
+def fixity_registers(
+    df: DataFrame, group_cols: list[str], content_cols: list[str]
+) -> DataFrame:
+    """Per-group multiset fixity digest: ``n_items`` plus two order-invariant
+    combining lanes over each row's sha256 prefix — ``fixity_sum`` (sum mod
+    2^61-1) and ``fixity_xor`` (bitwise xor). The catalog-integrity audit
+    at 10^12 rows: recompute after any migration/compaction/replication and
+    compare three numbers per collection instead of 10^12 hashes.
+
+    Why two lanes: xor alone cancels duplicated items (A xor A = 0 — a
+    double-ingest would go unseen); sum alone is weaker against crafted
+    bit-flips. A corruption must preserve BOTH to hide, plus the count.
+
+    Scale shape: one ``groupBy`` with map-side combine — the shuffle carries
+    one partial register row per (group, input partition), never hashes.
+    The sum lane accumulates in decimal(38,0) (2^126 headroom: 10^12 rows x
+    2^48 lane max = 2^88) and reduces mod 2^61-1 AFTER the aggregate, so
+    ANSI mode cannot overflow mid-combine. Order-invariant by construction:
+    any partitioning, any retry, same digest. Mergeable: see
+    ``fixity_merge`` — append-only ingest folds new batches in without
+    rescanning history (same contract as the HLL/CMS/moment families)."""
+    lane = _fixity_lane("_sha")
+    return (
+        with_sha256(df, content_cols, "_sha")
+        .select(*group_cols, lane.alias("_lane"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.col("_lane").cast("decimal(38,0)")) % F.lit(FIXITY_P))
+            .cast("bigint")
+            .alias("fixity_sum"),
+            F.expr("bit_xor(_lane)").alias("fixity_xor"),
+        )
+    )
+
+
+def fixity_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge fixity registers to coarser keys (or across batches/epochs):
+    counts and sum lanes add (mod 2^61-1), xor lanes xor. Exact — merging
+    per-batch registers equals digesting the union (pytest-pinned), so
+    incremental maintenance never rescans history."""
+    return registers.groupBy(*group_cols).agg(
+        F.sum("n_items").alias("n_items"),
+        (F.sum(F.col("fixity_sum").cast("decimal(38,0)")) % F.lit(FIXITY_P))
+        .cast("bigint")
+        .alias("fixity_sum"),
+        F.expr("bit_xor(fixity_xor)").alias("fixity_xor"),
+    )

@@ -2082,3 +2082,40 @@ SELECT image_id, v AS valid_from,
        cloud_pct, status
 FROM starts WINDOW w2 AS (PARTITION BY image_id ORDER BY v)
 """
+
+
+def _hex12_sql(h: str) -> str:
+    """First 12 hex digits of a sha256 string as int64 (unrolled positional
+    parse — exact, both engines)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def sql_fixity_audit() -> str:
+    """Replay of q_fixity_audit: the sha256 canonical serialization
+    (NULL -> chr(0), fields joined on chr(31)) and both combining lanes —
+    the sum lane reduced mod 2^61-1 from DuckDB's HUGEINT SUM, the xor
+    lane via bit_xor. Exact end to end."""
+    from .operators.sketches import FIXITY_P
+
+    canon = (
+        "COALESCE(CAST(image_id AS VARCHAR), chr(0)) || chr(31) || "
+        "COALESCE(CAST(caption AS VARCHAR), chr(0)) || chr(31) || "
+        "COALESCE(CAST(w AS VARCHAR), chr(0)) || chr(31) || "
+        "COALESCE(CAST(h AS VARCHAR), chr(0))"
+    )
+    return f"""
+WITH {IMAGES_CTE.strip()},
+lanes AS (
+  SELECT asset_type, fmt, {_hex12_sql(f"sha256({canon})")} AS lane
+  FROM images
+)
+SELECT asset_type, fmt,
+       COUNT(*) AS n_items,
+       CAST(SUM(lane) % {FIXITY_P} AS BIGINT) AS fixity_sum,
+       bit_xor(lane) AS fixity_xor
+FROM lanes GROUP BY asset_type, fmt
+"""

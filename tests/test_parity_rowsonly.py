@@ -830,3 +830,8 @@ def test_scd2_history_exact_vs_duckdb(spark, con):
     """Change-point windows (null-safe lag compares) + interval close
     (lead) replayed end to end — exact int/string."""
     _assert_parity(e.q_scd2_history(spark, SF), con, oracles.sql_scd2_history())
+
+
+def test_fixity_audit_exact_vs_duckdb(spark, con):
+    """sha256 canon + sum-mod-P + xor lanes replayed end to end — exact."""
+    _assert_parity(e.q_fixity_audit(spark, SF), con, oracles.sql_fixity_audit())

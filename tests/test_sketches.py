@@ -454,3 +454,127 @@ def test_moments_merge_equals_direct(spark, assigned):
     assert [r.asDict() for r in unioned.collect()] == [
         r.asDict() for r in direct.collect()
     ]
+
+
+# --- fixity digests ----------------------------------------------------------
+
+from stac_catalog_builder_spark.operators.sketches import (  # noqa: E402
+    FIXITY_P,
+    fixity_merge,
+    fixity_registers,
+    with_sha256,
+)
+
+
+@pytest.fixture(scope="module")
+def fixity_rows(spark):
+    rows = [
+        ("c1", f"id_{i}", f"caption {i}", i % 100 if i % 7 else None)
+        for i in range(200)
+    ] + [("c2", f"id_{i}", f"other {i}", i) for i in range(50)]
+    return spark.createDataFrame(rows, "coll string, id string, cap string, n int")
+
+
+def test_sha256_matches_hashlib(spark, fixity_rows):
+    """The canonical serialization (NULL -> \\x00, \\x1f-joined, ints as
+    decimal strings) must hash to exactly what hashlib computes."""
+    import hashlib
+
+    got = with_sha256(fixity_rows, ["id", "cap", "n"]).collect()
+    for r in got:
+        canon = "\x1f".join(
+            "\x00" if v is None else str(v) for v in (r.id, r.cap, r.n)
+        )
+        assert r.sha256 == hashlib.sha256(canon.encode()).hexdigest(), r
+
+
+def test_fixity_python_twin_and_invariance(spark, fixity_rows):
+    import hashlib
+    from collections import defaultdict
+    from functools import reduce as _reduce
+
+    regs = {
+        r.coll: r for r in fixity_registers(fixity_rows, ["coll"], ["id", "cap", "n"]).collect()
+    }
+    lanes = defaultdict(list)
+    for row in fixity_rows.collect():
+        canon = "\x1f".join(
+            "\x00" if v is None else str(v) for v in (row.id, row.cap, row.n)
+        )
+        lanes[row.coll].append(int(hashlib.sha256(canon.encode()).hexdigest()[:12], 16))
+    for coll, ls in lanes.items():
+        assert regs[coll].n_items == len(ls)
+        assert regs[coll].fixity_sum == sum(ls) % FIXITY_P
+        assert regs[coll].fixity_xor == _reduce(lambda a, b: a ^ b, ls)
+    # order/partitioning cannot change the digest
+    re = {
+        r.coll: r
+        for r in fixity_registers(
+            fixity_rows.repartition(17), ["coll"], ["id", "cap", "n"]
+        ).collect()
+    }
+    for coll in regs:
+        assert (re[coll].fixity_sum, re[coll].fixity_xor) == (
+            regs[coll].fixity_sum,
+            regs[coll].fixity_xor,
+        )
+
+
+def test_fixity_merge_equals_direct(spark, fixity_rows):
+    """Digesting per-batch then merging == digesting the union: the
+    incremental-maintenance contract."""
+    a = fixity_rows.where("n IS NULL OR n < 30")
+    b = fixity_rows.exceptAll(a)
+    merged = fixity_merge(
+        fixity_registers(a, ["coll"], ["id", "cap", "n"]).unionAll(
+            fixity_registers(b, ["coll"], ["id", "cap", "n"])
+        ),
+        ["coll"],
+    )
+    direct = fixity_registers(fixity_rows, ["coll"], ["id", "cap", "n"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # rollup to the catalog level (empty group list via constant key)
+    rollup = fixity_merge(
+        fixity_registers(fixity_rows, ["coll"], ["id", "cap", "n"]).withColumn(
+            "all", F.lit(1)
+        ),
+        ["all"],
+    )
+    direct_all = fixity_registers(
+        fixity_rows.withColumn("all", F.lit(1)), ["all"], ["id", "cap", "n"]
+    )
+    assert [tuple(r) for r in rollup.collect()] == [
+        tuple(r) for r in direct_all.collect()
+    ]
+
+
+def test_fixity_detects_corruption_and_duplication(spark, fixity_rows):
+    """A single flipped character changes the digest; a duplicated row is
+    invisible to the xor lane (A xor A = 0) but caught by sum and count —
+    the reason there are two lanes."""
+    base = {r.coll: r for r in fixity_registers(fixity_rows, ["coll"], ["id", "cap", "n"]).collect()}
+    corrupt = fixity_rows.withColumn(
+        "cap",
+        F.when(
+            (F.col("id") == "id_42") & (F.col("coll") == "c1"),
+            F.concat(F.col("cap"), F.lit("!")),
+        ).otherwise(F.col("cap")),
+    )
+    c = {r.coll: r for r in fixity_registers(corrupt, ["coll"], ["id", "cap", "n"]).collect()}
+    assert c["c1"].fixity_sum != base["c1"].fixity_sum
+    assert c["c1"].fixity_xor != base["c1"].fixity_xor
+    assert (c["c2"].fixity_sum, c["c2"].fixity_xor) == (
+        base["c2"].fixity_sum,
+        base["c2"].fixity_xor,
+    )
+    # an EVEN number of extra copies cancels in the xor lane — the sum lane
+    # and the count are what catch it (an odd count flips xor too)
+    dup_row = fixity_rows.where("id = 'id_42' AND coll = 'c1'")
+    dup = fixity_registers(
+        fixity_rows.unionAll(dup_row).unionAll(dup_row),
+        ["coll"],
+        ["id", "cap", "n"],
+    ).where("coll = 'c1'").collect()[0]
+    assert dup.fixity_xor == base["c1"].fixity_xor  # xor lane blind to the pair
+    assert dup.fixity_sum != base["c1"].fixity_sum  # sum lane catches it
+    assert dup.n_items == base["c1"].n_items + 2
