@@ -1738,6 +1738,23 @@ def q_fixity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (pytest test_multimodal.py proves every level decodes to
+    exactly the repeated numpy 2x2 box decimation of its source,
+    byte-identical across runs): COG-style overview generation — each
+    image expands to its chain of half-resolution levels, exact integer
+    kernel, Arrow-batched, shuffle-free. Emits per-level dims + payload
+    crc32 so the row check pins actual bytes
+    (operators/multimodal.py::overview_pyramid)."""
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 500)
+    )
+    out = multimodal.overview_pyramid(imgs, max_levels=3, min_dim=8)
+    return out.select(
+        "image_id", "level", "w", "h", F.crc32(F.col("bytes")).alias("payload_crc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1850,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "scd2_history": q_scd2_history,
         "fixity_audit": q_fixity_audit,
+        "overview_pyramid": q_overview_pyramid,
     }
 
 

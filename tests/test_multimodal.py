@@ -365,3 +365,67 @@ def test_augment_images_numpy_oracle_and_determinism(spark):
         multimodal.augment_images(imgs, ops=("zoom2x",))
     with _pytest.raises(ValueError, match="crop fraction"):
         multimodal.augment_images(imgs, ops=("crop1.5",))
+
+
+# --- overview pyramid --------------------------------------------------------
+
+
+def test_overview_pyramid_exact_vs_numpy(spark):
+    """Every emitted level must decode to exactly the repeated 2x2
+    integer box decimation of its source image — and be byte-identical
+    across two runs (determinism)."""
+    import numpy as np
+
+    from stac_catalog_builder_spark.functions.codecs import decode_image
+    from stac_catalog_builder_spark.operators.multimodal import (
+        _box_decimate,
+        overview_pyramid,
+        with_encoded_bytes,
+    )
+    from stac_catalog_builder_spark import synth
+
+    imgs = with_encoded_bytes(
+        synth.images(spark, "/root/testdata/sf0.001").where("img_key < 40")
+    )
+    src = {r.image_id: decode_image(bytes(r.bytes), r.fmt) for r in imgs.collect()}
+    out = overview_pyramid(imgs, max_levels=3, min_dim=8).collect()
+    seen = {}
+    for r in out:
+        want = src[r.image_id]
+        for _ in range(r.level):
+            want = _box_decimate(want)
+        got = decode_image(bytes(r.bytes), r.fmt)
+        assert got.shape == (r.h, r.w) == want.shape
+        assert np.array_equal(got, want), (r.image_id, r.level)
+        seen.setdefault(r.image_id, []).append(r.level)
+    # levels are a dense 1..k chain per image, k capped by min_dim
+    for iid, levels in seen.items():
+        assert sorted(levels) == list(range(1, len(levels) + 1))
+        h, w = src[iid].shape
+        # the chain stops exactly when the next level would dip below min_dim
+        k = len(levels)
+        assert (h >> k) // 2 < 8 or (w >> k) // 2 < 8 or k == 3
+    # 64x64 sources support 3 levels at min_dim=8 (64->32->16->8)
+    assert any(len(v) == 3 for v in seen.values())
+    rerun = overview_pyramid(imgs, max_levels=3, min_dim=8).collect()
+    assert sorted((r.image_id, r.level, bytes(r.bytes)) for r in rerun) == sorted(
+        (r.image_id, r.level, bytes(r.bytes)) for r in out
+    )
+
+
+def test_overview_pyramid_guards(spark):
+    from stac_catalog_builder_spark.operators.multimodal import (
+        overview_pyramid,
+        with_encoded_bytes,
+    )
+    from stac_catalog_builder_spark import synth
+
+    imgs = with_encoded_bytes(
+        synth.images(spark, "/root/testdata/sf0.001").where("img_key < 4")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        overview_pyramid(imgs, max_levels=0)
+    with _pytest.raises(ValueError):
+        overview_pyramid(imgs, min_dim=1)
