@@ -1755,6 +1755,20 @@ def q_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the whole
+    decomposition in DuckDB value-exactly; tests/test_overlap.py pins a
+    brute-force paint oracle incl. identical/contained/abutting
+    pathologies and cell-size invariance): EXACT dissolved footprint area
+    per asset_type — grid-decomposed rectangle union (clip to cells,
+    x-slab sweep, y-interval fold), int64 micro-lattice end to end, plus
+    the hull for the compactness ratio
+    (operators/overlap.py::footprint_union_area)."""
+    from stac_catalog_builder_spark.operators.overlap import footprint_union_area
+
+    return footprint_union_area(_images_fp(spark, sf_dir), ["asset_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1868,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "fixity_audit": q_fixity_audit,
         "overview_pyramid": q_overview_pyramid,
+        "union_area": q_union_area,
     }
 
 

@@ -2119,3 +2119,80 @@ SELECT asset_type, fmt,
        bit_xor(lane) AS fixity_xor
 FROM lanes GROUP BY asset_type, fmt
 """
+
+
+def sql_union_area(scale: int = 40_000, cell_micro: int = 2_600) -> str:
+    """Replay of operators/overlap.py::footprint_union_area: micro-lattice
+    quantization, per-group coordinate DISTINCT, grid-cell explode + clip,
+    x-slab decomposition via lead(), the span join, and the running-max
+    y-union fold (the interval_coverage fold) — all int64 on non-negative
+    operands, value-exact."""
+    c = int(cell_micro)
+    s = float(scale)
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()},
+raw AS (
+  SELECT asset_type,
+    CAST(FLOOR((fp_w + 180.0) * {s} + 0.5) AS BIGINT) AS xw,
+    CAST(FLOOR((fp_e + 180.0) * {s} + 0.5) AS BIGINT) AS xe,
+    CAST(FLOOR((fp_s + 90.0) * {s} + 0.5) AS BIGINT) AS ys,
+    CAST(FLOOR((fp_n + 90.0) * {s} + 0.5) AS BIGINT) AS yn
+  FROM fp
+  WHERE CAST(FLOOR((fp_e + 180.0) * {s} + 0.5) AS BIGINT)
+          > CAST(FLOOR((fp_w + 180.0) * {s} + 0.5) AS BIGINT)
+    AND CAST(FLOOR((fp_n + 90.0) * {s} + 0.5) AS BIGINT)
+          > CAST(FLOOR((fp_s + 90.0) * {s} + 0.5) AS BIGINT)
+),
+stats AS (
+  SELECT asset_type, COUNT(*) AS n_boxes,
+         (MAX(xe) - MIN(xw)) * (MAX(yn) - MIN(ys)) AS hull_area
+  FROM raw GROUP BY asset_type
+),
+boxes AS (SELECT DISTINCT * FROM raw),
+clipped AS (
+  SELECT asset_type, gx.cx AS cx, gy.cy AS cy,
+         GREATEST(xw, gx.cx * {c}) AS bxw,
+         LEAST(xe, (gx.cx + 1) * {c}) AS bxe,
+         GREATEST(ys, gy.cy * {c}) AS bys,
+         LEAST(yn, (gy.cy + 1) * {c}) AS byn
+  FROM boxes,
+       UNNEST(range(xw // {c}, (xe - 1) // {c} + 1)) AS gx(cx),
+       UNNEST(range(ys // {c}, (yn - 1) // {c} + 1)) AS gy(cy)
+),
+events AS (
+  SELECT DISTINCT asset_type, cx, cy, x FROM (
+    SELECT asset_type, cx, cy, bxw AS x FROM clipped
+    UNION ALL
+    SELECT asset_type, cx, cy, bxe AS x FROM clipped
+  )
+),
+slabs AS (
+  SELECT asset_type, cx, cy, x AS sx1,
+         LEAD(x) OVER (PARTITION BY asset_type, cx, cy ORDER BY x) AS sx2
+  FROM events
+  QUALIFY sx2 IS NOT NULL
+),
+covered AS (
+  SELECT s.asset_type, s.cx, s.cy, s.sx1, s.sx2, b.bys, b.byn,
+         MAX(b.byn) OVER (PARTITION BY s.asset_type, s.cx, s.cy, s.sx1, s.sx2
+                          ORDER BY b.bys, b.byn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM slabs s
+  JOIN clipped b
+    ON s.asset_type = b.asset_type AND s.cx = b.cx AND s.cy = b.cy
+   AND b.bxw <= s.sx1 AND b.bxe >= s.sx2
+),
+folded AS (
+  SELECT asset_type, cx, cy, sx1, sx2,
+         SUM(GREATEST(0, byn - GREATEST(bys, COALESCE(prev_max, bys)))) AS ylen
+  FROM covered GROUP BY asset_type, cx, cy, sx1, sx2
+),
+area AS (
+  SELECT asset_type, CAST(SUM(ylen * (sx2 - sx1)) AS BIGINT) AS union_area
+  FROM folded GROUP BY asset_type
+)
+SELECT st.asset_type, st.n_boxes,
+       COALESCE(a.union_area, 0) AS union_area, st.hull_area
+FROM stats st LEFT JOIN area a ON st.asset_type = a.asset_type
+"""

@@ -138,3 +138,101 @@ def test_bad_params_raise(spark):
         footprint_iou_pairs(df, id_col="fid", min_iou_pct=101)
     with pytest.raises(ValueError):
         footprint_iou_pairs(df, id_col="fid", cell_micro=0)
+
+
+# --- footprint_union_area ----------------------------------------------------
+
+from stac_catalog_builder_spark.operators.overlap import (  # noqa: E402
+    footprint_union_area,
+)
+
+
+def _ua_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, fp_w double, fp_s double, fp_e double, fp_n double"
+    )
+
+
+def _paint_area(rows, g):
+    grid = np.zeros((2400, 2400), dtype=bool)
+    n = 0
+    for gg, x1, y1, x2, y2 in rows:
+        if gg == g and x2 > x1 and y2 > y1:
+            grid[int(x1) : int(x2), int(y1) : int(y2)] = True
+            n += 1
+    return n, int(grid.sum())
+
+
+def test_union_area_exact_vs_paint_oracle(spark):
+    """120 random boxes per group + identical/contained/abutting/degenerate
+    pathologies: the dissolved area must equal a brute-force pixel paint
+    exactly (integer lattice at scale=1)."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(120):
+            x1, y1 = rng.randint(0, 1500, 2)
+            w, h = rng.randint(1, 400, 2)
+            rows.append((g, float(x1), float(y1), float(x1 + w), float(y1 + h)))
+    rows += [("a", 10.0, 10.0, 20.0, 20.0)] * 3  # identical stack
+    rows += [
+        ("a", 12.0, 12.0, 14.0, 14.0),  # contained
+        ("a", 20.0, 10.0, 30.0, 20.0),  # abutting (no double count, no gap)
+        ("a", 50.0, 50.0, 50.0, 60.0),  # zero width -> dropped
+    ]
+    df = _ua_frame(spark, rows)
+    out = {
+        r.g: r
+        for r in footprint_union_area(
+            df, ["g"], scale=1, cell_micro=300, lon_offset=0.0, lat_offset=0.0
+        ).collect()
+    }
+    for g in ("a", "b"):
+        n, area = _paint_area(rows, g)
+        assert out[g].n_boxes == n
+        assert out[g].union_area == area, g
+        assert out[g].hull_area >= out[g].union_area
+
+
+def test_union_area_cell_size_invariant(spark):
+    """The grid decomposition must not affect the result — cells tile the
+    plane and clipped contributions are disjoint, so any cell size gives
+    the same exact union (incl. boxes spanning many cells)."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (
+            "g",
+            float(x1 := rng.randint(0, 900)),
+            float(y1 := rng.randint(0, 900)),
+            float(x1 + rng.randint(1, 700)),
+            float(y1 + rng.randint(1, 700)),
+        )
+        for _ in range(80)
+    ]
+    df = _ua_frame(spark, rows)
+    vals = [
+        footprint_union_area(
+            df, ["g"], scale=1, cell_micro=cm, lon_offset=0.0, lat_offset=0.0
+        ).collect()[0]
+        for cm in (100, 512, 10_000)
+    ]
+    assert len({(v.union_area, v.hull_area, v.n_boxes) for v in vals}) == 1
+    n, area = _paint_area(rows, "g")
+    assert vals[0].union_area == area
+
+
+def test_union_area_all_degenerate_group(spark):
+    """A group whose boxes are all zero-area reports n_boxes=0 via absence;
+    a group with no overlap at all sums box areas exactly."""
+    rows = [
+        ("d", 5.0, 5.0, 5.0, 9.0),  # zero width
+        ("s", 0.0, 0.0, 10.0, 10.0),
+        ("s", 20.0, 20.0, 30.0, 25.0),
+    ]
+    out = footprint_union_area(
+        _ua_frame(spark, rows), ["g"], scale=1, cell_micro=64,
+        lon_offset=0.0, lat_offset=0.0,
+    ).collect()
+    assert {r.g for r in out} == {"s"}  # degenerate-only group has no rows
+    s = next(r for r in out if r.g == "s")
+    assert s.union_area == 100 + 50 and s.n_boxes == 2

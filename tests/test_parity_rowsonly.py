@@ -835,3 +835,9 @@ def test_scd2_history_exact_vs_duckdb(spark, con):
 def test_fixity_audit_exact_vs_duckdb(spark, con):
     """sha256 canon + sum-mod-P + xor lanes replayed end to end — exact."""
     _assert_parity(e.q_fixity_audit(spark, SF), con, oracles.sql_fixity_audit())
+
+
+def test_union_area_exact_vs_duckdb(spark, con):
+    """Grid clip + x-slab sweep + y-interval fold replayed end to end —
+    exact int64 dissolved areas."""
+    _assert_parity(e.q_union_area(spark, SF), con, oracles.sql_union_area())
