@@ -1769,6 +1769,27 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footprint_union_area(_images_fp(spark, sf_dir), ["asset_type"])
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the exact haversine
+    predicate against a brute cross join in DuckDB value-exactly;
+    tests/test_knn.py pins a numpy brute-force oracle incl. antimeridian
+    wrap and cell-size invariance): within-distance spatial join — every
+    image within 120 km of each ground-station query, grid-bucketed 3x3
+    candidates + exact JVM haversine, never a cross join
+    (operators/knn.py::radius_join)."""
+    from stac_catalog_builder_spark.operators.knn import radius_join
+
+    qs = synth.knn_queries(spark, sf_dir).select(
+        "query_id", F.col("qlon").alias("lon"), F.col("qlat").alias("lat")
+    )
+    out = radius_join(qs, _images_fp(spark, sf_dir), radius_m=120_000.0)
+    return out.select(
+        "query_id",
+        "image_id",
+        F.floor(F.col("dist_m") * 1000.0 + F.lit(0.5)).cast("bigint").alias("dist_mm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1883,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixity_audit": q_fixity_audit,
         "overview_pyramid": q_overview_pyramid,
         "union_area": q_union_area,
+        "radius_join": q_radius_join,
     }
 
 

@@ -359,3 +359,95 @@ def knn_join_cellring(
         )
         return done.unionByName(fallback) if done is not None else fallback
     return done
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str = "query_id",
+    right_id: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float | None = None,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Within-distance spatial join: every (left, right) pair whose
+    haversine distance is <= ``radius_m``, with ``dist_m`` attached — the
+    fixed-radius complement of the kNN join (proximity queries: "all
+    scenes within 50 km of each ground station").
+
+    Scale shape — never a cross join: both sides key on a planar grid
+    whose cell edge covers the radius, the LEFT side explodes to its 3x3
+    cell neighborhood (a bounded factor-9 map-side multiplier, like
+    tile_cover), candidates meet in ONE equi-join on the cell key (AQE
+    skew-splittable — a hot cluster is the same lever as everywhere else),
+    and the exact JVM haversine prunes the corners. Cells wrap at the
+    antimeridian via pmod so +179.9 pairs with -179.9.
+
+    ``cell_deg`` must be >= the radius in longitude degrees at the
+    worst-case latitude of the DATA (lon degrees shrink by cos(lat)); the
+    default derives it from ``max_abs_lat`` (66 covers everything south of
+    the polar circles) as ``radius_m / (111_000 * cos(max_abs_lat))``.
+    Pass a tighter ``max_abs_lat`` (or ``cell_deg``) for equatorial
+    corpora — smaller cells mean fewer candidates per hot cell. Rows
+    poleward of the covered band can miss east-west neighbors (the 3x3
+    contract breaks when a cell's ground width collapses); polar corpora
+    need a dedicated projection, not a bigger cell.
+    """
+    import math
+
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive: {radius_m}")
+    if cell_deg is None:
+        cell_deg = radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat)))
+    if cell_deg <= 0 or cell_deg > 90.0:
+        raise ValueError(f"cell_deg out of range (0, 90]: {cell_deg}")
+    nx = max(int(math.ceil(360.0 / cell_deg)), 1)
+
+    def xy(frame: DataFrame, id_col: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.col(lon).alias("_lon"),
+            F.col(lat).alias("_lat"),
+            F.floor((F.col(lon) + 180.0) / F.lit(float(cell_deg)))
+            .cast("bigint")
+            .alias("_gx"),
+            F.floor((F.col(lat) + 90.0) / F.lit(float(cell_deg)))
+            .cast("bigint")
+            .alias("_gy"),
+        )
+
+    l = xy(left, left_id).select(
+        left_id,
+        F.col("_lon").alias("_qlon"),
+        F.col("_lat").alias("_qlat"),
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_dx"),
+        "_gx",
+        "_gy",
+    ).select(
+        left_id,
+        "_qlon",
+        "_qlat",
+        F.pmod(F.col("_gx") + F.col("_dx"), F.lit(nx)).alias("_cx"),
+        F.explode(
+            F.array(*[(F.col("_gy") + F.lit(d)) for d in (-1, 0, 1)])
+        ).alias("_cy"),
+    )
+    r = xy(right, right_id).select(
+        right_id,
+        "_lon",
+        "_lat",
+        F.pmod(F.col("_gx"), F.lit(nx)).alias("_cx"),
+        F.col("_gy").alias("_cy"),
+    )
+    dist = haversine_col(
+        F.col("_lon"), F.col("_lat"), F.col("_qlon"), F.col("_qlat")
+    )
+    return (
+        l.join(r, ["_cx", "_cy"])
+        .select(left_id, right_id, dist.alias("dist_m"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+    )

@@ -2196,3 +2196,19 @@ SELECT st.asset_type, st.n_boxes,
        COALESCE(a.union_area, 0) AS union_area, st.hull_area
 FROM stats st LEFT JOIN area a ON st.asset_type = a.asset_type
 """
+
+
+def sql_radius_join(radius_m: float = 120_000.0) -> str:
+    """Replay of q_radius_join as the brute cross join + exact haversine
+    predicate (the grid-bucketed candidates must find the IDENTICAL pair
+    set), dist floored to mm."""
+    hav = HAVERSINE_SQL.format(
+        lat1="q.qlat", lon1="q.qlon", lat2="i.lat", lon2="i.lon"
+    )
+    return f"""
+WITH {IMAGES_CTE.strip()}, {FOOTPRINTS_CTE.strip()}, {KNN_QUERIES_CTE.strip()}
+SELECT q.query_id, i.image_id,
+       CAST(FLOOR(({hav}) * 1000.0 + 0.5) AS BIGINT) AS dist_mm
+FROM knn_queries q CROSS JOIN fp i
+WHERE ({hav}) <= {float(radius_m)}
+"""

@@ -66,3 +66,64 @@ def test_entry_cellring_fixed_matches_brute(spark):
     brute = e.queries()["knn"](spark, SF).select("query_id", "rank", "image_id")
     assert _rows(fixed) == _rows(brute)
     cache.release()
+
+
+# --- radius_join -------------------------------------------------------------
+
+
+def test_radius_join_exact_vs_brute(spark):
+    """Pair set + distances must equal the brute-force numpy haversine,
+    including an antimeridian-straddling pair, and must be invariant to
+    the grid cell size (candidates are an implementation detail)."""
+    import numpy as np
+
+    from stac_catalog_builder_spark.functions.geo import haversine_np
+    from stac_catalog_builder_spark.operators.knn import radius_join
+
+    rng = np.random.RandomState(3)
+    qlon = rng.uniform(-179.9, 179.9, 40)
+    qlat = rng.uniform(-60.0, 60.0, 40)
+    plon = rng.uniform(-179.9, 179.9, 3000)
+    plat = rng.uniform(-60.0, 60.0, 3000)
+    qlon[0], qlat[0] = 179.95, 10.0
+    plon[0], plat[0] = -179.95, 10.0  # wraps: ~11 km apart, 359.9 deg in lon
+    L = spark.createDataFrame(
+        [(f"q{i}", float(qlon[i]), float(qlat[i])) for i in range(40)],
+        "query_id string, lon double, lat double",
+    )
+    R = spark.createDataFrame(
+        [(f"p{j}", float(plon[j]), float(plat[j])) for j in range(3000)],
+        "image_id string, lon double, lat double",
+    )
+    rad = 250_000.0
+    d = haversine_np(plon[None, :], plat[None, :], qlon[:, None], qlat[:, None])
+    want = {
+        (f"q{i}", f"p{j}"): d[i, j]
+        for i in range(40)
+        for j in range(3000)
+        if d[i, j] <= rad
+    }
+    assert want, "oracle found no pairs — bad fixture"
+    for kwargs in ({}, {"max_abs_lat": 61.0}, {"cell_deg": 9.5}):
+        out = radius_join(L, R, rad, **kwargs).collect()
+        got = {(r.query_id, r.image_id): r.dist_m for r in out}
+        assert set(got) == set(want), kwargs
+        assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert ("q0", "p0") in want  # the antimeridian pair is exercised
+
+
+def test_radius_join_guards(spark):
+    import pytest
+
+    from stac_catalog_builder_spark.operators.knn import radius_join
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0)], "query_id string, lon double, lat double"
+    )
+    rt = spark.createDataFrame(
+        [("b", 0.0, 0.0)], "image_id string, lon double, lat double"
+    )
+    with pytest.raises(ValueError):
+        radius_join(df, rt, radius_m=0.0)
+    with pytest.raises(ValueError):
+        radius_join(df, rt, radius_m=1000.0, cell_deg=100.0)

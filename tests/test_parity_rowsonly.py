@@ -841,3 +841,9 @@ def test_union_area_exact_vs_duckdb(spark, con):
     """Grid clip + x-slab sweep + y-interval fold replayed end to end —
     exact int64 dissolved areas."""
     _assert_parity(e.q_union_area(spark, SF), con, oracles.sql_union_area())
+
+
+def test_radius_join_exact_vs_duckdb(spark, con):
+    """The grid-bucketed within-distance join vs a brute cross join with
+    the same haversine — pair set and mm-floored distances identical."""
+    _assert_parity(e.q_radius_join(spark, SF), con, oracles.sql_radius_join())
