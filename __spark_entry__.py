@@ -1790,6 +1790,19 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays tokenize ->
+    tf -> df -> prune in DuckDB value-exactly; tests/test_textops.py pins
+    a Counter twin and the broadcast-df plan): the corpus inverted index —
+    (term, df, doc_id, tf) postings with min_df=3 hapax pruning, the exact
+    integer layer under any tf-idf/BM25 scorer
+    (operators/textops.py::inverted_postings)."""
+    from stac_catalog_builder_spark.operators.textops import inverted_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return inverted_postings(docs, min_df=3, max_df=2000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1905,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_pyramid": q_overview_pyramid,
         "union_area": q_union_area,
         "radius_join": q_radius_join,
+        "inverted_postings": q_inverted_postings,
     }
 
 

@@ -251,3 +251,49 @@ def decontaminate(
     report = hits.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     clean = docs.join(report.select(key_col), key_col, "left_anti")
     return clean, report
+
+
+def inverted_postings(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build the inverted index of a corpus: one posting row per
+    (term, document) with the term frequency, plus the term's document
+    frequency on every row — the exact integer layer every retrieval
+    scorer (tf-idf, BM25) is a per-row formula over, and the
+    search-index-construction job a corpus-scale engine owes its users.
+
+    Whitespace tokenization (the corpus contract shared by token_stats /
+    doc_chunks / the 13-gram decontaminator). Two aggregations, both with
+    map-side partial combine: tf = count per (term, doc) — the explode
+    never crosses the wire raw, only combined partials do — and df via one
+    more aggregate over the tf table (already term-keyed, so AQE reuses
+    the narrower exchange). ``min_df``/``max_df`` prune hapax noise and
+    stopword-degenerate terms AFTER df is known; the df join is a
+    broadcast of the dimension-sized term table.
+
+    Output: term, df, doc_id, tf — sorted consumers (delta-encoded posting
+    files) get their order from a write-time sortWithinPartitions, not a
+    global sort.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"max_df < min_df: {max_df} < {min_df}")
+    tf = (
+        df.select(
+            F.col(doc_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= F.lit(int(max_df)))
+    dfreq = dfreq.where(F.col("df") >= F.lit(int(min_df)))
+    return tf.join(F.broadcast(dfreq), "term").select("term", "df", "doc_id", "tf")

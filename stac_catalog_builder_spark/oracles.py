@@ -2212,3 +2212,27 @@ SELECT q.query_id, i.image_id,
 FROM knn_queries q CROSS JOIN fp i
 WHERE ({hav}) <= {float(radius_m)}
 """
+
+
+def sql_inverted_postings(min_df: int = 3, max_df: int = 2000) -> str:
+    """Replay of q_inverted_postings: whitespace split (empty terms
+    dropped), tf per (term, doc), df per term, min/max_df prune — exact
+    int64 end to end."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY term
+  HAVING COUNT(*) >= {int(min_df)} AND COUNT(*) <= {int(max_df)}
+)
+SELECT t.term, d.df, t.doc_id, t.tf
+FROM tf t JOIN dfreq d USING (term)
+"""

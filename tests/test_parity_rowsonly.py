@@ -847,3 +847,10 @@ def test_radius_join_exact_vs_duckdb(spark, con):
     """The grid-bucketed within-distance join vs a brute cross join with
     the same haversine — pair set and mm-floored distances identical."""
     _assert_parity(e.q_radius_join(spark, SF), con, oracles.sql_radius_join())
+
+
+def test_inverted_postings_exact_vs_duckdb(spark, con):
+    """tokenize -> tf -> df -> prune replayed end to end — exact int64."""
+    _assert_parity(
+        e.q_inverted_postings(spark, SF), con, oracles.sql_inverted_postings()
+    )

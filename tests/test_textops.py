@@ -102,3 +102,67 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert len(rows) + report.count() == docs.count()
+
+
+# --- inverted_postings -------------------------------------------------------
+
+
+def test_inverted_postings_counter_twin(spark):
+    """tf/df must equal a python Counter over the same whitespace
+    tokenization; pruning bounds df on every surviving row."""
+    from collections import Counter, defaultdict
+
+    from stac_catalog_builder_spark.operators.textops import inverted_postings
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "cat cat cat"),
+        (4, ""),  # empty doc contributes nothing
+        (5, "unique_term"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = inverted_postings(df, min_df=1).collect()
+    tf_want: dict = defaultdict(Counter)
+    for d, text in rows:
+        for t in text.split(" "):
+            if t:
+                tf_want[t][d] += 1
+    got = {(r.term, r.doc_id): (r.tf, r.df) for r in out}
+    assert set(got) == {(t, d) for t, c in tf_want.items() for d in c}
+    for (t, d), (tf, dfreq) in got.items():
+        assert tf == tf_want[t][d]
+        assert dfreq == len(tf_want[t])
+    # min_df prunes hapax terms entirely; max_df prunes stopword-like ones
+    pruned = inverted_postings(df, min_df=2).collect()
+    assert {r.term for r in pruned} == {
+        t for t, c in tf_want.items() if len(c) >= 2
+    }
+    capped = inverted_postings(df, min_df=1, max_df=1).collect()
+    assert {r.term for r in capped} == {
+        t for t, c in tf_want.items() if len(c) == 1
+    }  # "the"/"cat"/"sat" (df=2) are capped out; hapax terms survive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inverted_postings(df, min_df=0)
+    with _pytest.raises(ValueError):
+        inverted_postings(df, min_df=5, max_df=4)
+
+
+def test_inverted_postings_df_join_is_broadcast(spark):
+    """The df attach must be a broadcast join (the term table is
+    dimension-sized after pruning); the fact-side postings never shuffle
+    for it."""
+    from stac_catalog_builder_spark.operators.textops import inverted_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        inverted_postings(docs, min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
