@@ -270,3 +270,46 @@ def current_moments(
 
     regs = store.read_stage(spark, stage).drop("part_key")
     return moment_stats(regs, list(group_cols))
+
+
+def run_fixity_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    group_cols: list[str],
+    content_cols: list[str],
+    stage: str = "fixity_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming integrity maintenance: each micro-batch reduces to its
+    fixity register table (3 numbers per group — operators/sketches)
+    committed under its epoch, so the catalog's content digest stays live
+    as ingest appends. The sum lane merges by modular ADDITION and the xor
+    lane by xor — neither is idempotent (a double-landed epoch would skew
+    both), so like the CMS this leans on the exactly-once guards (epoch
+    lineage skip + dynamic partition overwrite); the replay no-op test
+    covers exactly that."""
+    from ..operators.sketches import fixity_registers
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: fixity_registers(batch, list(group_cols), list(content_cols)),
+        stage,
+        max_files,
+    )
+
+
+def current_fixity(
+    spark: SparkSession,
+    store,
+    group_cols: list[str],
+    stage: str = "fixity_increments",
+) -> DataFrame:
+    """Live fixity digests: lane-wise merge over all committed epoch
+    increments — equal to digesting the full history from scratch."""
+    from ..operators.sketches import fixity_merge
+
+    regs = store.read_stage(spark, stage).drop("part_key")
+    return fixity_merge(regs, list(group_cols))

@@ -318,3 +318,44 @@ def test_streaming_moment_maintenance_equals_batch(spark, tmp_path):
     sx.run_moment_maintenance(spark, src, store, ["asset_type"], "v")
     assert len(store.snapshots("moment_increments")) == n_snaps
     assert canon(sx.current_moments(spark, store, ["asset_type"])) == batch
+
+
+def test_streaming_fixity_maintenance_equals_batch(spark, tmp_path):
+    """Streaming integrity maintenance: per-epoch fixity register
+    increments lane-merged at read time must equal the from-scratch batch
+    digest EXACTLY, and a full stream replay is a no-op — the sum lane
+    adds and the xor lane xors, so neither tolerates a double-landed
+    epoch (same exactly-once reliance as the CMS)."""
+    from stac_catalog_builder_spark.operators.sketches import fixity_registers
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    src = str(tmp_path / "docs_fixity_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_fixity_maintenance(
+        spark, src, store, ["lang", "source"], ["doc_id", "text"]
+    )
+    assert len(store.snapshots("fixity_increments")) >= 2  # multi-epoch run
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    live = canon(sx.current_fixity(spark, store, ["lang", "source"]))
+    batch = canon(
+        fixity_registers(
+            spark.read.parquet(src), ["lang", "source"], ["doc_id", "text"]
+        )
+    )
+    assert live == batch and len(live) > 0
+
+    n_snaps = len(store.snapshots("fixity_increments"))
+    sx.run_fixity_maintenance(
+        spark, src, store, ["lang", "source"], ["doc_id", "text"]
+    )
+    assert len(store.snapshots("fixity_increments")) == n_snaps
+    assert canon(sx.current_fixity(spark, store, ["lang", "source"])) == batch
