@@ -107,6 +107,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "temporal_coverage",
         "hll_distinct",
         "tile_pyramid",
+        "group_sample",
+        "scd2_history",
+        "fixity_audit",
+        "radius_join",
+        "inverted_postings",
+        # union_area is deliberately NOT here: ~21s/pass at sf0.1 (exact
+        # rectangle-union dissolve over the hot cluster) would dominate the
+        # suite wall; its cell-size study + sf0.1 walls are committed in
+        # ROUND5.md instead.
     ]
     qs = e.queries()
     for name in bench_queries:
