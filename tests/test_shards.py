@@ -96,3 +96,42 @@ def test_shards_partial_failure_resume(spark, images, tmp_path):
         hashlib.sha256((out / f"shard-{victim:05d}.tar").read_bytes()).hexdigest()
         == first[victim]["sha256"]
     )
+
+
+def test_shard_reader_round_trips_the_sink(spark, tmp_path):
+    """write -> read must reproduce every sample exactly: payload bytes,
+    metadata JSON, and the deterministic shard assignment."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.sources.shards import (
+        read_webdataset_shards,
+        shard_id_col,
+        write_webdataset_shards,
+    )
+
+    rows = [
+        (f"s{i:04d}", bytes([i % 251, (i * 7) % 251]) * (i % 5 + 1), f"cap {i}", i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string, n int")
+    out = str(tmp_path / "shards")
+    write_webdataset_shards(
+        df, out, n_shards=7, meta_cols=["caption", "n"]
+    ).collect()
+    back = read_webdataset_shards(spark, out).collect()
+    assert len(back) == 200
+    got = {r.key: r for r in back}
+    want_shard = {
+        r.image_id: r.s
+        for r in df.select(
+            "image_id", shard_id_col(F.col("image_id"), 7).alias("s")
+        ).collect()
+    }
+    for key, payload, caption, n in rows:
+        r = got[key]
+        assert bytes(r.payload) == payload, key
+        meta = json.loads(r.meta_json)
+        assert meta == {"caption": caption, "n": n}
+        assert r.shard_id == want_shard[key]
