@@ -180,6 +180,23 @@ def main() -> None:
             "partitioning.",
             _packing_plan(spark),
         ),
+        (
+            "radius_join (within-distance join — never a cross join)",
+            "Claim: candidates meet in an equi-join on the grid cell keys "
+            "(a bounded factor-9 left-side explode), the haversine filter "
+            "is codegen ASIN/SQRT math — NO CartesianProduct, NO "
+            "BroadcastNestedLoopJoin, no Python anywhere.",
+            e.queries()["radius_join"](spark, SF),
+        ),
+        (
+            "union_area (exact rectangle-union dissolve, zero UDFs)",
+            "Claim: the whole decomposition (cell explode/clip, slab "
+            "window, span join, y-union fold, final aggregate) is JVM "
+            "column algebra — no Python eval, no CartesianProduct; the "
+            "span join is an equi-join on (group, cell) that AQE can "
+            "skew-split.",
+            e.queries()["union_area"](spark, SF),
+        ),
     ]
 
     out = [

@@ -155,3 +155,26 @@ def test_sampling_split_plan_is_jvm_map_side(spark):
     plan = _plan(dataset_split(docs, "doc_id"))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_radius_join_plan_no_cross_no_python(spark):
+    """radius_join candidates meet in an equi-join on the grid cell keys —
+    never a CartesianProduct or nested loop — and the haversine filter is
+    codegen math, no Python eval."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["radius_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_union_area_plan_jvm_only(spark):
+    """The exact rectangle-union dissolve is pure JVM column algebra:
+    no Python eval, no CartesianProduct anywhere in the decomposition."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["union_area"](spark, SF))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
