@@ -1803,6 +1803,29 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_postings(docs, min_df=3, max_df=2000)
 
 
+def q_composite_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_composite.py proves every tile byte-equal to
+    a per-pixel python twin of the whole regrid+composite pipeline, plus
+    single-scene identity and repartition determinism): pixel-level mosaic
+    compositing — overlapping scenes regridded onto the global 10-micro
+    lattice (nearest neighbor, exact int64) and composited per map tile as
+    the integer per-pixel mean; pixels cross the wire exactly once as
+    per-tile blocks (operators/composite.py::composite_tiles)."""
+    from stac_catalog_builder_spark.operators.composite import composite_tiles
+
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 300)
+    )
+    out = composite_tiles(imgs, tile_cells=64)
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "n_scenes",
+        "covered_px",
+        F.crc32(F.col("bytes")).alias("payload_crc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1919,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_area": q_union_area,
         "radius_join": q_radius_join,
         "inverted_postings": q_inverted_postings,
+        "composite_tiles": q_composite_tiles,
     }
 
 
