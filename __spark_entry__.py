@@ -1826,6 +1826,26 @@ def q_composite_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_composite.py pins exact known deltas — a
+    +17-grey-level epoch reports mean_abs_diff_e3 == 17000 on every
+    shared pixel — threshold classification, one-sided coverage, and
+    identical-epoch silence): per-tile change detection between the
+    catalog's two acquisition years — composite each epoch on the shared
+    global lattice, one tile-keyed full outer join, integer per-pixel
+    compare where both covered (operators/composite.py::tile_change)."""
+    from stac_catalog_builder_spark.operators.composite import tile_change
+
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 600)
+    )
+    return tile_change(
+        imgs.where(F.col("year") == 2000),
+        imgs.where(F.col("year") == 2001),
+        threshold=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1943,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "inverted_postings": q_inverted_postings,
         "composite_tiles": q_composite_tiles,
+        "tile_change": q_tile_change,
     }
 
 

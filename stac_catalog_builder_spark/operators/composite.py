@@ -146,6 +146,9 @@ def composite_tiles(
         out = np.zeros((T, T), dtype=np.uint8)
         covered = cnt > 0
         out[covered] = (acc[covered] // cnt[covered]).astype(np.uint8)
+        # counts canvas (saturated at 255) rides along: value 0 is a legal
+        # composite pixel, so downstream consumers (change detection) need
+        # coverage, not just the covered_px scalar
         return pd.DataFrame(
             [
                 {
@@ -154,6 +157,9 @@ def composite_tiles(
                     "n_scenes": int(len(pdf)),
                     "covered_px": int(covered.sum()),
                     "bytes": encode_raw(out),
+                    "counts": encode_raw(
+                        np.minimum(cnt, 255).astype(np.uint8)
+                    ),
                 }
             ]
         )
@@ -162,6 +168,98 @@ def composite_tiles(
         composite,
         schema=(
             "tile_x bigint, tile_y bigint, n_scenes int, "
-            "covered_px int, bytes binary"
+            "covered_px int, bytes binary, counts binary"
+        ),
+    )
+
+
+def tile_change(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    tile_cells: int = 64,
+    threshold: int = 8,
+) -> DataFrame:
+    """Per-tile change detection between two acquisition epochs: composite
+    each epoch onto the SAME global lattice, join tiles, and compare
+    per-pixel where BOTH epochs have coverage — the deforestation /
+    new-construction / flood-mapping shape, distributed by tile.
+
+    Output per tile covered in either epoch: n_both_px (pixels covered in
+    both), n_changed_px (abs diff >= ``threshold``), mean_abs_diff_e3
+    (floor of 1000 * sum|diff| / n_both_px; 0 when no shared coverage),
+    plus each side's scene count (0 where an epoch is absent — appearing
+    and disappearing coverage IS change signal at the tile level).
+
+    Scale shape: two composite passes (each per-tile-canvas bounded, see
+    ``composite_tiles``), ONE full outer equi-join on the tile key
+    (composite tables are tile-dimension-sized, orders smaller than the
+    scene tables), then an Arrow-batched per-tile compare — integer math
+    only, byte-deterministic.
+    """
+    a = composite_tiles(df_a, tile_cells).select(
+        "tile_x",
+        "tile_y",
+        F.col("n_scenes").alias("n_scenes_a"),
+        F.col("bytes").alias("bytes_a"),
+        F.col("counts").alias("counts_a"),
+    )
+    b = composite_tiles(df_b, tile_cells).select(
+        "tile_x",
+        "tile_y",
+        F.col("n_scenes").alias("n_scenes_b"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("counts").alias("counts_b"),
+    )
+    joined = a.join(b, ["tile_x", "tile_y"], "full_outer")
+    thr = int(threshold)
+
+    def compare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import decode_raw
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n_both = n_changed = 0
+                mean_e3 = 0
+                if r.bytes_a is not None and r.bytes_b is not None:
+                    pa = decode_raw(bytes(r.bytes_a)).astype(np.int32)
+                    pb = decode_raw(bytes(r.bytes_b)).astype(np.int32)
+                    both = (decode_raw(bytes(r.counts_a)) > 0) & (
+                        decode_raw(bytes(r.counts_b)) > 0
+                    )
+                    n_both = int(both.sum())
+                    if n_both:
+                        diff = np.abs(pa - pb)[both]
+                        n_changed = int((diff >= thr).sum())
+                        mean_e3 = int(1000 * int(diff.sum()) // n_both)
+                rows.append(
+                    {
+                        "tile_x": r.tile_x,
+                        "tile_y": r.tile_y,
+                        "n_scenes_a": 0 if pd.isna(r.n_scenes_a) else int(r.n_scenes_a),
+                        "n_scenes_b": 0 if pd.isna(r.n_scenes_b) else int(r.n_scenes_b),
+                        "n_both_px": n_both,
+                        "n_changed_px": n_changed,
+                        "mean_abs_diff_e3": mean_e3,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_x",
+                    "tile_y",
+                    "n_scenes_a",
+                    "n_scenes_b",
+                    "n_both_px",
+                    "n_changed_px",
+                    "mean_abs_diff_e3",
+                ],
+            )
+
+    return joined.mapInPandas(
+        compare,
+        schema=(
+            "tile_x bigint, tile_y bigint, n_scenes_a int, n_scenes_b int, "
+            "n_both_px int, n_changed_px int, mean_abs_diff_e3 bigint"
         ),
     )

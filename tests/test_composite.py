@@ -108,3 +108,72 @@ def test_composite_guard(spark):
     )
     with pytest.raises(ValueError):
         composite_tiles(imgs, tile_cells=0)
+
+
+# --- tile_change -------------------------------------------------------------
+
+
+def _flat_scene(spark, image_id, value, fp_w=0.0, fp_s=0.0, w=64, h=64):
+    from stac_catalog_builder_spark.functions.codecs import encode_raw
+
+    arr = np.full((h, w), value, dtype=np.uint8)
+    row = (
+        image_id,
+        bytearray(encode_raw(arr)),
+        "raw",
+        fp_w,
+        fp_s,
+        fp_w + w * 0.00025,
+        fp_s + h * 0.00025,
+    )
+    return spark.createDataFrame(
+        [row],
+        "image_id string, bytes binary, fmt string, "
+        "fp_w double, fp_s double, fp_e double, fp_n double",
+    )
+
+
+def test_tile_change_known_deltas(spark):
+    """Epoch B = epoch A shifted by +17 grey levels over the same ground:
+    every shared pixel must report |diff| exactly 17 (mean_abs_diff_e3 =
+    17000), the threshold classifies all-or-nothing around it, and an
+    epoch-B-only scene reports zero shared pixels with n_scenes_a = 0."""
+    from stac_catalog_builder_spark.operators.composite import tile_change
+
+    a = _flat_scene(spark, "a1", 100)
+    b = _flat_scene(spark, "b1", 117).unionAll(
+        _flat_scene(spark, "b2", 50, fp_w=10.0, fp_s=10.0)
+    )
+    out = {(r.tile_x, r.tile_y): r for r in tile_change(a, b, threshold=8).collect()}
+    shared = [r for r in out.values() if r.n_both_px > 0]
+    assert len(shared) == 1
+    r = shared[0]
+    assert r.n_both_px == 64 * 64
+    assert r.n_changed_px == 64 * 64  # |117-100| = 17 >= 8 everywhere
+    assert r.mean_abs_diff_e3 == 17_000
+    assert r.n_scenes_a == 1 and r.n_scenes_b == 1
+    only_b = [r for r in out.values() if r.n_scenes_a == 0]
+    assert only_b and all(
+        r.n_both_px == 0 and r.n_scenes_b == 1 and r.mean_abs_diff_e3 == 0
+        for r in only_b
+    )
+    # a higher threshold flips the classification to zero changed pixels
+    calm = {
+        (r.tile_x, r.tile_y): r
+        for r in tile_change(a, b, threshold=18).collect()
+    }
+    r2 = [r for r in calm.values() if r.n_both_px > 0][0]
+    assert r2.n_changed_px == 0 and r2.mean_abs_diff_e3 == 17_000
+
+
+def test_tile_change_identical_epochs_are_silent(spark):
+    from stac_catalog_builder_spark.operators.composite import tile_change
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, SF)).where("img_key < 30")
+    )
+    out = tile_change(imgs, imgs, threshold=1).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_changed_px == 0 and r.mean_abs_diff_e3 == 0
+        assert r.n_both_px > 0 and r.n_scenes_a == r.n_scenes_b
