@@ -1846,6 +1846,28 @@ def q_tile_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_composite.py pins a coordinate-comparison
+    oracle for rectangles — independent of the production ray cast — a
+    winding-number cross-check for hexagons, and exact cross-tile cell
+    accounting): vector -> raster — the catalog's collection boundary
+    polygons painted into per-tile masks on the shared lattice, the other
+    direction of the raster<->vector bridge
+    (operators/composite.py::rasterize_polygons)."""
+    from stac_catalog_builder_spark.operators.composite import rasterize_polygons
+
+    out = rasterize_polygons(
+        spark, _boundary_polygons(spark, sf_dir), tile_cells=64, cell_micro=640
+    )
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "label",
+        "n_inside_px",
+        F.crc32(F.col("mask")).alias("mask_crc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1964,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "composite_tiles": q_composite_tiles,
         "tile_change": q_tile_change,
+        "rasterize": q_rasterize,
     }
 
 

@@ -263,3 +263,110 @@ def tile_change(
             "n_both_px int, n_changed_px int, mean_abs_diff_e3 bigint"
         ),
     )
+
+
+def rasterize_polygons(
+    spark,
+    polygons: list[dict],
+    tile_cells: int = 64,
+    cell_micro: int = 640,
+    label_col: str = "collection_id",
+) -> DataFrame:
+    """Vector -> raster: paint each polygon into per-tile boolean masks on
+    the shared micro-degree lattice — the other direction of the engine's
+    raster<->vector bridge (``multimodal.zonal_stats`` reads rasters INTO
+    vector zones; this turns vector boundaries into raster masks that
+    composites/patches can be clipped against, the rasterio.features shape
+    the reference leaves to downstream tooling).
+
+    ``polygons`` is the same dimension-sized driver-side list the spatial
+    join uses (ring_x/ring_y + label columns — the reference's collection
+    boundary model); the PIP test is the same half-open even-odd ray cast
+    as the join, evaluated at every cell CENTER (``cell_micro`` sets the
+    mask pitch; the default 640 micro = 0.016 deg keeps a continental
+    polygon's mask set tile-dimension-sized).
+
+    Scale shape: the polygon table is tiny but its TILE COVER is not — the
+    bbox->tile explode runs as JVM ``sequence`` explodes (never a driver
+    loop), and the per-(polygon, tile) mask evaluation is vectorized numpy
+    over one Arrow batch stream. Tiles whose mask is empty are dropped in
+    the kernel, so output is proportional to actual polygon area. Masks
+    for overlapping polygons are separate rows (composition is the
+    caller's semantics: priority paint, any-coverage, fractional area).
+    """
+    if tile_cells < 1:
+        raise ValueError(f"tile_cells must be >= 1: {tile_cells}")
+    if cell_micro < 1:
+        raise ValueError(f"cell_micro must be >= 1: {cell_micro}")
+    from ..functions.geo import point_in_polygon_np
+
+    T, C = int(tile_cells), int(cell_micro)
+    span = T * C  # tile edge in micro-degrees
+    rows = []
+    verts: list[tuple[np.ndarray, np.ndarray]] = []
+    for i, p in enumerate(polygons):
+        vx = np.asarray(p["ring_x"], dtype=np.float64)
+        vy = np.asarray(p["ring_y"], dtype=np.float64)
+        verts.append((vx, vy))
+        xw = int(np.floor((vx.min() + 180.0) * 40000.0 + 0.5))
+        xe = int(np.floor((vx.max() + 180.0) * 40000.0 + 0.5))
+        ys = int(np.floor((vy.min() + 90.0) * 40000.0 + 0.5))
+        yn = int(np.floor((vy.max() + 90.0) * 40000.0 + 0.5))
+        rows.append((i, str(p[label_col]), xw, xe, ys, yn))
+    poly_df = spark.createDataFrame(
+        rows, "poly_idx int, label string, xw bigint, xe bigint, ys bigint, yn bigint"
+    )
+    tiles = (
+        poly_df.withColumn(
+            "tile_x",
+            F.explode(
+                F.sequence(F.expr(f"xw div {span}"), F.expr(f"(xe - 1) div {span}"))
+            ),
+        )
+        .withColumn(
+            "tile_y",
+            F.explode(
+                F.sequence(F.expr(f"ys div {span}"), F.expr(f"(yn - 1) div {span}"))
+            ),
+        )
+        .select("poly_idx", "label", "tile_x", "tile_y")
+        .repartition("tile_x", "tile_y")
+    )
+
+    def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                # cell centers of this tile, in degrees (exact lattice math)
+                gx = r.tile_x * T + np.arange(T, dtype=np.int64)
+                gy = r.tile_y * T + np.arange(T, dtype=np.int64)
+                lon = (C * gx + C // 2) / 40000.0 - 180.0
+                # rows run north->south like every raster here
+                lat = (C * gy[::-1] + C // 2) / 40000.0 - 90.0
+                lon2 = np.repeat(lon[None, :], T, axis=0).ravel()
+                lat2 = np.repeat(lat[:, None], T, axis=1).ravel()
+                vx, vy = verts[r.poly_idx]
+                inside = point_in_polygon_np(lon2, lat2, vx, vy).reshape(T, T)
+                n = int(inside.sum())
+                if n == 0:
+                    continue  # bbox-covered but polygon-empty tile
+                out.append(
+                    {
+                        "tile_x": int(r.tile_x),
+                        "tile_y": int(r.tile_y),
+                        "label": r.label,
+                        "n_inside_px": n,
+                        "mask": encode_raw(inside.astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["tile_x", "tile_y", "label", "n_inside_px", "mask"]
+            )
+
+    return tiles.mapInPandas(
+        paint,
+        schema=(
+            "tile_x bigint, tile_y bigint, label string, "
+            "n_inside_px int, mask binary"
+        ),
+    )
