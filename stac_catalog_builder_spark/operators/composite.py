@@ -64,15 +64,18 @@ def _cell_range(lo: int, hi: int) -> tuple[int, int]:
     return (lo + 4) // PX_MICRO, (hi - 6) // PX_MICRO
 
 
-def composite_tiles(
+def composite_state(
     df: DataFrame,
     tile_cells: int = 64,
 ) -> DataFrame:
-    """Composite overlapping scenes per map tile (``tile_cells`` x
+    """Build the MERGEABLE composite state per map tile (``tile_cells`` x
     ``tile_cells`` global lattice cells; 64 cells = 0.016 deg at the
-    10-micro pitch). Input needs image_id, bytes, fmt + the footprint
-    bbox. Output, one row per covered tile: tile_x, tile_y, n_scenes,
-    covered_px, bytes (raw uint8 composite, uncovered pixels 0).
+    10-micro pitch): int64 sum + int32 count canvases and the scene
+    count. State rows merge by addition (``composite_merge``) and render
+    to the delivery raster with ``composite_render`` — splitting the
+    pipeline at the algebraic state is what makes mosaics incrementally
+    maintainable (streaming/extents.run_composite_maintenance). Input
+    needs image_id, bytes, fmt + the footprint bbox.
     """
     if tile_cells < 1:
         raise ValueError(f"tile_cells must be >= 1: {tile_cells}")
@@ -135,7 +138,7 @@ def composite_tiles(
         ),
     )
 
-    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         acc = np.zeros((T, T), dtype=np.int64)
         cnt = np.zeros((T, T), dtype=np.int32)
@@ -143,33 +146,118 @@ def composite_tiles(
             b = np.frombuffer(r.block, dtype=np.uint8).reshape(r.bh, r.bw)
             acc[r.oy : r.oy + r.bh, r.ox : r.ox + r.bw] += b
             cnt[r.oy : r.oy + r.bh, r.ox : r.ox + r.bw] += 1
-        out = np.zeros((T, T), dtype=np.uint8)
-        covered = cnt > 0
-        out[covered] = (acc[covered] // cnt[covered]).astype(np.uint8)
-        # counts canvas (saturated at 255) rides along: value 0 is a legal
-        # composite pixel, so downstream consumers (change detection) need
-        # coverage, not just the covered_px scalar
         return pd.DataFrame(
             [
                 {
                     "tile_x": tx,
                     "tile_y": ty,
                     "n_scenes": int(len(pdf)),
-                    "covered_px": int(covered.sum()),
-                    "bytes": encode_raw(out),
-                    "counts": encode_raw(
-                        np.minimum(cnt, 255).astype(np.uint8)
-                    ),
+                    "acc": acc.tobytes(),
+                    "cnt": cnt.tobytes(),
                 }
             ]
         )
 
     return blocks.groupBy("tile_x", "tile_y").applyInPandas(
-        composite,
+        fold, schema=_STATE_SCHEMA
+    )
+
+
+_STATE_SCHEMA = (
+    "tile_x bigint, tile_y bigint, n_scenes int, acc binary, cnt binary"
+)
+
+
+def composite_merge(states: DataFrame, tile_cells: int = 64) -> DataFrame:
+    """Merge composite states (across batches/epochs): canvases ADD and
+    scene counts add — exact, so folding per-epoch states equals building
+    the state from the union of scenes (pytest-pinned). This is what makes
+    the mosaic INCREMENTALLY MAINTAINABLE: new acquisitions fold in
+    without re-reading history, same contract as the extent/HLL/fixity
+    increment families."""
+    T = int(tile_cells)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((T, T), dtype=np.int64)
+        cnt = np.zeros((T, T), dtype=np.int32)
+        n = 0
+        for r in pdf.itertuples(index=False):
+            acc += np.frombuffer(r.acc, dtype=np.int64).reshape(T, T)
+            cnt += np.frombuffer(r.cnt, dtype=np.int32).reshape(T, T)
+            n += int(r.n_scenes)
+        return pd.DataFrame(
+            [
+                {
+                    "tile_x": int(key[0]),
+                    "tile_y": int(key[1]),
+                    "n_scenes": n,
+                    "acc": acc.tobytes(),
+                    "cnt": cnt.tobytes(),
+                }
+            ]
+        )
+
+    return states.groupBy("tile_x", "tile_y").applyInPandas(
+        merge, schema=_STATE_SCHEMA
+    )
+
+
+def composite_render(states: DataFrame, tile_cells: int = 64) -> DataFrame:
+    """Render composite state to the delivery raster: per-pixel integer
+    mean (sum div count), uncovered pixels 0, plus the saturated coverage
+    canvas (value 0 is a legal composite pixel, so downstream consumers —
+    change detection — need coverage, not just the covered_px scalar)."""
+    T = int(tile_cells)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                acc = np.frombuffer(r.acc, dtype=np.int64).reshape(T, T)
+                cnt = np.frombuffer(r.cnt, dtype=np.int32).reshape(T, T)
+                out = np.zeros((T, T), dtype=np.uint8)
+                covered = cnt > 0
+                out[covered] = (acc[covered] // cnt[covered]).astype(np.uint8)
+                rows.append(
+                    {
+                        "tile_x": int(r.tile_x),
+                        "tile_y": int(r.tile_y),
+                        "n_scenes": int(r.n_scenes),
+                        "covered_px": int(covered.sum()),
+                        "bytes": encode_raw(out),
+                        "counts": encode_raw(np.minimum(cnt, 255).astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_x",
+                    "tile_y",
+                    "n_scenes",
+                    "covered_px",
+                    "bytes",
+                    "counts",
+                ],
+            )
+
+    return states.mapInPandas(
+        render,
         schema=(
             "tile_x bigint, tile_y bigint, n_scenes int, "
             "covered_px int, bytes binary, counts binary"
         ),
+    )
+
+
+def composite_tiles(df: DataFrame, tile_cells: int = 64) -> DataFrame:
+    """Composite overlapping scenes per map tile: the one-shot pipeline
+    (state -> render). Output per covered tile: tile_x, tile_y, n_scenes,
+    covered_px, bytes (raw uint8 composite, uncovered 0), counts
+    (saturated coverage canvas). See the module docstring for the
+    two-stage scale shape and ``composite_state``/``composite_merge`` for
+    the incremental form."""
+    return composite_render(
+        composite_state(df, tile_cells), tile_cells
     )
 
 

@@ -313,3 +313,47 @@ def current_fixity(
 
     regs = store.read_stage(spark, stage).drop("part_key")
     return fixity_merge(regs, list(group_cols))
+
+
+def run_composite_maintenance(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    tile_cells: int = 64,
+    stage: str = "composite_increments",
+    max_files: int = 1,
+) -> None:
+    """Streaming mosaic maintenance: each micro-batch of scenes reduces to
+    its per-tile composite STATE (int64 sum + int32 count canvases —
+    operators/composite.composite_state) committed under its epoch, so the
+    living mosaic folds new acquisitions in without re-reading history.
+    Canvas merge is ADDITION (not idempotent), so like the CMS/fixity this
+    leans on the exactly-once store guards; the replay no-op test covers
+    the double-landing scenario."""
+    from ..operators.composite import composite_state
+
+    run_increment_maintenance(
+        spark,
+        src_path,
+        store,
+        lambda batch: composite_state(batch, tile_cells),
+        stage,
+        max_files,
+    )
+
+
+def current_composite(
+    spark: SparkSession,
+    store,
+    tile_cells: int = 64,
+    stage: str = "composite_increments",
+) -> DataFrame:
+    """The live mosaic: merge all committed epoch states and render —
+    byte-equal to compositing the full scene history from scratch
+    (tests/test_streaming.py asserts it)."""
+    from ..operators.composite import composite_merge, composite_render
+
+    states = store.read_stage(spark, stage).drop("part_key")
+    return composite_render(
+        composite_merge(states, tile_cells), tile_cells
+    )

@@ -288,3 +288,33 @@ def test_rasterize_guards(spark):
         rasterize_polygons(spark, [poly], tile_cells=0)
     with pytest.raises(ValueError):
         rasterize_polygons(spark, [poly], cell_micro=0)
+
+
+def test_composite_merge_equals_direct(spark):
+    """State built per batch then merged must render byte-identically to
+    the state built from all scenes at once — the incremental-mosaic
+    contract."""
+    from stac_catalog_builder_spark.operators.composite import (
+        composite_merge,
+        composite_render,
+        composite_state,
+        composite_tiles,
+    )
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, SF)).where("img_key < 60")
+    )
+    a = imgs.where("img_key % 2 = 0")
+    b = imgs.where("img_key % 2 = 1")
+    merged = composite_render(
+        composite_merge(composite_state(a).unionAll(composite_state(b)))
+    )
+    direct = composite_tiles(imgs)
+
+    def canon(df):
+        return sorted(
+            (r.tile_x, r.tile_y, r.n_scenes, r.covered_px, bytes(r.bytes), bytes(r.counts))
+            for r in df.collect()
+        )
+
+    assert canon(merged) == canon(direct)

@@ -359,3 +359,43 @@ def test_streaming_fixity_maintenance_equals_batch(spark, tmp_path):
     )
     assert len(store.snapshots("fixity_increments")) == n_snaps
     assert canon(sx.current_fixity(spark, store, ["lang", "source"])) == batch
+
+
+def test_streaming_composite_maintenance_equals_batch(spark, tmp_path):
+    """Streaming mosaic maintenance: per-epoch composite-state increments
+    merged+rendered at read time must equal the from-scratch batch mosaic
+    BYTE-EXACTLY, and a full stream replay is a no-op (canvas merge is
+    addition — a double-landed epoch would skew every shared pixel)."""
+    from stac_catalog_builder_spark import synth
+    from stac_catalog_builder_spark.operators import multimodal
+    from stac_catalog_builder_spark.operators.composite import composite_tiles
+    from stac_catalog_builder_spark.operators.footprints import with_footprint
+    from stac_catalog_builder_spark.sources.checkpoint import SnapshotStore
+    from stac_catalog_builder_spark.streaming import extents as sx
+
+    imgs = multimodal.with_encoded_bytes(
+        with_footprint(synth.images(spark, "/root/testdata/sf0.001")).where(
+            "img_key < 40"
+        )
+    ).select("image_id", "bytes", "fmt", "fp_w", "fp_s", "fp_e", "fp_n")
+    src = str(tmp_path / "scenes_stream")
+    imgs.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    sx.run_composite_maintenance(spark, src, store)
+    assert len(store.snapshots("composite_increments")) >= 2  # multi-epoch
+
+    def canon(df):
+        return sorted(
+            (r.tile_x, r.tile_y, r.n_scenes, r.covered_px, bytes(r.bytes))
+            for r in df.collect()
+        )
+
+    live = canon(sx.current_composite(spark, store))
+    batch = canon(composite_tiles(spark.read.parquet(src)))
+    assert live == batch and len(live) > 0
+
+    n_snaps = len(store.snapshots("composite_increments"))
+    sx.run_composite_maintenance(spark, src, store)
+    assert len(store.snapshots("composite_increments")) == n_snaps
+    assert canon(sx.current_composite(spark, store)) == batch
