@@ -1868,6 +1868,21 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays the shuffle rank +
+    wrap-offset join in DuckDB value-exactly; tests/test_sampling.py pins
+    exactly-k, no-self-pair, salt rotation, and repartition invariance):
+    deterministic negative sampling for contrastive training — every
+    document anchors exactly 4 negatives from the salted shuffle order
+    (operators/sampling.py::contrastive_negatives)."""
+    from stac_catalog_builder_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return contrastive_negatives(docs, "doc_id", k=4, salt=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -1987,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_tiles": q_composite_tiles,
         "tile_change": q_tile_change,
         "rasterize": q_rasterize,
+        "contrastive_negatives": q_contrastive_negatives,
     }
 
 

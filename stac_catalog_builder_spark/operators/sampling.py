@@ -375,3 +375,45 @@ def deterministic_shuffle(
         )
         .drop("_sb", "_blk", "_off")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    k: int = 4,
+    salt: int = 0,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair every
+    anchor with the ``k`` rows that FOLLOW it in the salted deterministic
+    shuffle order (wrapping at the end) — each anchor gets exactly k
+    distinct negatives, never itself, uniformly shuffled, and the whole
+    assignment is a pure function of (keys, salt): retries and
+    repartitionings reproduce it byte-for-byte, and ``salt`` = epoch
+    rotates every anchor's negatives with zero stored state (RNG sampling
+    gives none of this). Requires ``k < n``; keys unique (the family
+    contract).
+
+    Scale shape: one ``deterministic_shuffle`` rank (see its no-global-sort
+    decomposition), a map-side explode of the k offsets, and ONE equi-join
+    on the rank — rank is dense and unique, so the join is uniform by
+    construction (no skew possible). ``n_rows`` skips the count job when
+    the caller has lake statistics (same escape hatch as pack_sequences).
+
+    Output: anchor (key), negative (key), neg_rank in [1, k].
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    ranked = deterministic_shuffle(df.select(key_col), key_col, salt=salt)
+    n = int(n_rows) if n_rows is not None else ranked.count()
+    if k >= n:
+        raise ValueError(f"k must be < n rows: k={k}, n={n}")
+    anchors = ranked.select(
+        F.col(key_col).alias("anchor"),
+        F.col("shuffle_pos").alias("_pos"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank"),
+    ).withColumn("_npos", F.pmod(F.col("_pos") + F.col("neg_rank"), F.lit(n)))
+    negs = ranked.select(
+        F.col(key_col).alias("negative"), F.col("shuffle_pos").alias("_npos")
+    )
+    return anchors.join(negs, "_npos").select("anchor", "negative", "neg_rank")

@@ -2236,3 +2236,27 @@ dfreq AS (
 SELECT t.term, d.df, t.doc_id, t.tf
 FROM tf t JOIN dfreq d USING (term)
 """
+
+
+def sql_contrastive_negatives(k: int = 4, salt: int = 2) -> str:
+    """Replay of q_contrastive_negatives: the shuffle rank (ROW_NUMBER over
+    the 31-bit scramble) + wrap-offset self-join — exact int64."""
+    from .operators.sampling import _MOD
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY ({_bucket31_sql('doc_id', salt)}), doc_id) - 1 AS BIGINT)
+           AS pos
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM ranked),
+anchors AS (
+  SELECT r.doc_id AS anchor, r.pos, d.neg_rank,
+         (r.pos + d.neg_rank) % (SELECT n FROM n) AS npos
+  FROM ranked r, UNNEST(range(1, {int(k)} + 1)) AS d(neg_rank)
+)
+SELECT a.anchor, g.doc_id AS negative, CAST(a.neg_rank AS INT) AS neg_rank
+FROM anchors a JOIN ranked g ON a.npos = g.pos
+"""

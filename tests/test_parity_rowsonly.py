@@ -854,3 +854,12 @@ def test_inverted_postings_exact_vs_duckdb(spark, con):
     _assert_parity(
         e.q_inverted_postings(spark, SF), con, oracles.sql_inverted_postings()
     )
+
+
+def test_contrastive_negatives_exact_vs_duckdb(spark, con):
+    """Shuffle rank + wrap-offset join replayed end to end — exact."""
+    _assert_parity(
+        e.q_contrastive_negatives(spark, SF),
+        con,
+        oracles.sql_contrastive_negatives(),
+    )

@@ -367,3 +367,53 @@ def test_group_sample_k_guard(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError):
         group_sample(docs, ["lang"], "doc_id", k=0)
+
+
+# --- contrastive_negatives ---------------------------------------------------
+
+
+def test_contrastive_negatives_properties(spark, docs):
+    from stac_catalog_builder_spark.operators.sampling import (
+        contrastive_negatives,
+        deterministic_shuffle,
+    )
+
+    out = contrastive_negatives(docs, "doc_id", k=4, salt=9).collect()
+    n = docs.count()
+    assert len(out) == 4 * n  # exactly k negatives per anchor
+    by_anchor = {}
+    for r in out:
+        assert r.anchor != r.negative  # never self (k < n, offsets >= 1)
+        by_anchor.setdefault(r.anchor, set()).add(r.negative)
+    assert all(len(v) == 4 for v in by_anchor.values())  # distinct negatives
+    # the assignment IS the shuffle order: anchor at pos p gets pos p+1..p+4
+    ranks = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", salt=9).collect()
+    }
+    inv = {p: d for d, p in ranks.items()}
+    for r in out:
+        assert r.negative == inv[(ranks[r.anchor] + r.neg_rank) % n]
+    # repartition-invariant; a new salt rotates the negatives
+    re = {
+        (r.anchor, r.neg_rank): r.negative
+        for r in contrastive_negatives(docs.repartition(17), "doc_id", k=4, salt=9).collect()
+    }
+    assert re == {(r.anchor, r.neg_rank): r.negative for r in out}
+    other = {
+        (r.anchor, r.neg_rank): r.negative
+        for r in contrastive_negatives(docs, "doc_id", k=4, salt=10).collect()
+    }
+    assert other != re
+
+
+def test_contrastive_negatives_guards(spark, docs):
+    import pytest as _pytest
+
+    from stac_catalog_builder_spark.operators.sampling import contrastive_negatives
+
+    with _pytest.raises(ValueError):
+        contrastive_negatives(docs, "doc_id", k=0)
+    tiny = docs.limit(3)
+    with _pytest.raises(ValueError):
+        contrastive_negatives(tiny, "doc_id", k=3)
