@@ -1883,6 +1883,34 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_negatives(docs, "doc_id", k=4, salt=2)
 
 
+def q_masked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_composite.py pins exact known values — a
+    value-100 scene masked by a half-tile rectangle reports mean_e3
+    100000 with a coordinate-comparison pixel count — plus
+    tiles-restriction row-identity): zonal statistics over the MOSAIC —
+    composite the hot scenes, rasterize the collection boundaries onto
+    the same lattice restricted to the data's tiles, clip and aggregate
+    per boundary label (operators/composite.py::masked_composite_stats)."""
+    from stac_catalog_builder_spark.operators.composite import (
+        composite_tiles,
+        masked_composite_stats,
+        rasterize_polygons,
+    )
+
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 300)
+    )
+    comps = composite_tiles(imgs, tile_cells=64)
+    masks = rasterize_polygons(
+        spark,
+        _boundary_polygons(spark, sf_dir),
+        tile_cells=64,
+        cell_micro=10,
+        tiles=comps.select("tile_x", "tile_y"),
+    )
+    return masked_composite_stats(comps, masks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -2003,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_change": q_tile_change,
         "rasterize": q_rasterize,
         "contrastive_negatives": q_contrastive_negatives,
+        "masked_stats": q_masked_stats,
     }
 
 

@@ -359,6 +359,7 @@ def rasterize_polygons(
     tile_cells: int = 64,
     cell_micro: int = 640,
     label_col: str = "collection_id",
+    tiles: DataFrame | None = None,
 ) -> DataFrame:
     """Vector -> raster: paint each polygon into per-tile boolean masks on
     the shared micro-degree lattice — the other direction of the engine's
@@ -404,22 +405,44 @@ def rasterize_polygons(
     poly_df = spark.createDataFrame(
         rows, "poly_idx int, label string, xw bigint, xe bigint, ys bigint, yn bigint"
     )
-    tiles = (
-        poly_df.withColumn(
-            "tile_x",
-            F.explode(
-                F.sequence(F.expr(f"xw div {span}"), F.expr(f"(xe - 1) div {span}"))
-            ),
+    if tiles is not None:
+        # paint only where data lives: at a fine mask pitch a continental
+        # polygon's full bbox cover is enormous, but the DATA's tile set is
+        # not — restrict to the caller's tiles via a broadcast range join
+        # against the tiny polygon table instead of the bbox explode.
+        work = (
+            tiles.select("tile_x", "tile_y")
+            .distinct()
+            .join(
+                F.broadcast(poly_df),
+                (F.col("tile_x") >= F.expr(f"xw div {span}"))
+                & (F.col("tile_x") <= F.expr(f"(xe - 1) div {span}"))
+                & (F.col("tile_y") >= F.expr(f"ys div {span}"))
+                & (F.col("tile_y") <= F.expr(f"(yn - 1) div {span}")),
+            )
+            .select("poly_idx", "label", "tile_x", "tile_y")
         )
-        .withColumn(
-            "tile_y",
-            F.explode(
-                F.sequence(F.expr(f"ys div {span}"), F.expr(f"(yn - 1) div {span}"))
-            ),
+    else:
+        work = (
+            poly_df.withColumn(
+                "tile_x",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"xw div {span}"), F.expr(f"(xe - 1) div {span}")
+                    )
+                ),
+            )
+            .withColumn(
+                "tile_y",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"ys div {span}"), F.expr(f"(yn - 1) div {span}")
+                    )
+                ),
+            )
+            .select("poly_idx", "label", "tile_x", "tile_y")
+            .repartition("tile_x", "tile_y")
         )
-        .select("poly_idx", "label", "tile_x", "tile_y")
-        .repartition("tile_x", "tile_y")
-    )
 
     def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -451,10 +474,74 @@ def rasterize_polygons(
                 out, columns=["tile_x", "tile_y", "label", "n_inside_px", "mask"]
             )
 
-    return tiles.mapInPandas(
+    return work.mapInPandas(
         paint,
         schema=(
             "tile_x bigint, tile_y bigint, label string, "
             "n_inside_px int, mask binary"
         ),
+    )
+
+
+def masked_composite_stats(
+    composites: DataFrame,
+    masks: DataFrame,
+    tile_cells: int = 64,
+) -> DataFrame:
+    """Zonal statistics over the MOSAIC: clip composite tiles by
+    rasterized polygon masks (both on the same lattice/tile keys) and
+    aggregate per polygon label — the three-operator composition
+    (rasterize -> composite -> stats) that answers "what is the mean
+    composited pixel value inside each collection boundary?" without ever
+    materializing a whole-polygon raster.
+
+    Scale shape: ONE equi-join on the tile key (both inputs are
+    tile-dimension-sized), an Arrow-batched per-tile masked reduction to 4
+    numbers, then a JVM aggregate with map-side combine. The mean is exact
+    fixed-point (sum and count carried as int64 to the final division).
+    Pixels counted are those covered by the composite AND inside the
+    polygon; tiles without a mask (or vice versa) drop in the join.
+    """
+    T = int(tile_cells)
+    joined = composites.select(
+        "tile_x", "tile_y", "bytes", "counts"
+    ).join(masks.select("tile_x", "tile_y", "label", "mask"), ["tile_x", "tile_y"])
+
+    def reduce_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import decode_raw
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_raw(bytes(r.bytes)).astype(np.int64)
+                sel = (decode_raw(bytes(r.counts)) > 0) & (
+                    decode_raw(bytes(r.mask)) > 0
+                )
+                if not sel.any():
+                    continue
+                vals = px[sel]
+                rows.append(
+                    {
+                        "label": r.label,
+                        "n_px": int(vals.size),
+                        "sum_px": int(vals.sum()),
+                        "min_px": int(vals.min()),
+                        "max_px": int(vals.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["label", "n_px", "sum_px", "min_px", "max_px"]
+            )
+
+    partials = joined.mapInPandas(
+        reduce_tiles,
+        schema="label string, n_px bigint, sum_px bigint, min_px int, max_px int",
+    )
+    return partials.groupBy("label").agg(
+        F.sum("n_px").alias("n_px"),
+        (F.lit(1000) * F.sum("sum_px") / F.sum("n_px"))
+        .cast("bigint")
+        .alias("mean_e3"),
+        F.min("min_px").alias("min_px"),
+        F.max("max_px").alias("max_px"),
     )

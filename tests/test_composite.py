@@ -318,3 +318,77 @@ def test_composite_merge_equals_direct(spark):
         )
 
     assert canon(merged) == canon(direct)
+
+
+# --- masked_composite_stats --------------------------------------------------
+
+
+def test_masked_stats_known_values(spark):
+    """A value-100 scene covering exactly one tile, masked by a rectangle
+    polygon: mean/min/max must be exactly 100 and n_px must equal the
+    coordinate-comparison count of (covered AND inside) cells; a second
+    label over empty ground reports nothing."""
+    from stac_catalog_builder_spark.operators.composite import (
+        composite_tiles,
+        masked_composite_stats,
+        rasterize_polygons,
+    )
+
+    scene = _flat_scene(spark, "s1", 100)  # [0, 0.016)^2, 64x64 px
+    comps = composite_tiles(scene, tile_cells=64)
+    rect = {
+        "ring_x": [0.0, 0.008, 0.008, 0.0],
+        "ring_y": [0.0, 0.0, 0.016, 0.016],
+        "collection_id": "left_half",
+    }
+    far = {
+        "ring_x": [50.0, 50.01, 50.01, 50.0],
+        "ring_y": [50.0, 50.0, 50.01, 50.01],
+        "collection_id": "nowhere",
+    }
+    masks = rasterize_polygons(
+        spark,
+        [rect, far],
+        tile_cells=64,
+        cell_micro=10,
+        tiles=comps.select("tile_x", "tile_y"),
+    )
+    out = {r.label: r for r in masked_composite_stats(comps, masks).collect()}
+    assert set(out) == {"left_half"}  # 'nowhere' has no data tiles
+    r = out["left_half"]
+    assert (r.mean_e3, r.min_px, r.max_px) == (100_000, 100, 100)
+    # independent count: scene covers centers in [0, 0.016) deg; the mask
+    # keeps lon centers in [0, 0.008) — exact half of the 64x64 tile
+    n_lon = sum(
+        1 for g in range(720000, 720064) if 0.0 <= (10 * g + 5) / 40000.0 - 180.0 < 0.008
+    )
+    assert r.n_px == n_lon * 64
+
+
+def test_rasterize_tiles_restriction_is_row_identical(spark):
+    """Restricting rasterize to a tile set must return exactly the
+    unrestricted rows for those tiles (the paint is unchanged; only the
+    cover enumeration differs)."""
+    from stac_catalog_builder_spark.operators.composite import rasterize_polygons
+
+    rect = {
+        "ring_x": [0.004, 0.037, 0.037, 0.004],
+        "ring_y": [0.006, 0.006, 0.029, 0.029],
+        "collection_id": "c0",
+    }
+    full = rasterize_polygons(spark, [rect], tile_cells=16, cell_micro=40)
+    some_tiles = full.select("tile_x", "tile_y").limit(3)
+    chosen = {(r.tile_x, r.tile_y) for r in some_tiles.collect()}
+    restricted = rasterize_polygons(
+        spark, [rect], tile_cells=16, cell_micro=40, tiles=some_tiles
+    )
+    want = {
+        (r.tile_x, r.tile_y): (r.label, r.n_inside_px, bytes(r.mask))
+        for r in full.collect()
+        if (r.tile_x, r.tile_y) in chosen
+    }
+    got = {
+        (r.tile_x, r.tile_y): (r.label, r.n_inside_px, bytes(r.mask))
+        for r in restricted.collect()
+    }
+    assert got == want and len(got) == 3
