@@ -1911,6 +1911,20 @@ def q_masked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked_composite_stats(comps, masks)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_textops.py pins a from-scratch python BM25 to
+    1e-6 incl. the top-k ordering, and the no-query-term exclusion
+    boundary): ranked retrieval over the corpus — BM25 top-10 for a fixed
+    query over the inverted_postings integer layer; the postings filter
+    to the query's terms via a broadcast semi-join, so a q-term query
+    touches q posting lists, never the corpus
+    (operators/textops.py::bm25_topk)."""
+    from stac_catalog_builder_spark.operators.textops import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bm25_topk(docs, ["data", "pipeline", "quality"], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -2032,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "contrastive_negatives": q_contrastive_negatives,
         "masked_stats": q_masked_stats,
+        "bm25_topk": q_bm25_topk,
     }
 
 

@@ -297,3 +297,78 @@ def inverted_postings(
         dfreq = dfreq.where(F.col("df") <= F.lit(int(max_df)))
     dfreq = dfreq.where(F.col("df") >= F.lit(int(min_df)))
     return tf.join(F.broadcast(dfreq), "term").select("term", "df", "doc_id", "tf")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 1,
+) -> DataFrame:
+    """Ranked retrieval over the corpus: BM25 score of every document
+    against ``query_terms``, top ``k`` returned — the classic scorer as a
+    per-row formula over the exact integer layer ``inverted_postings``
+    builds (Robertson/Sparck Jones; the Okapi formulation with the +1
+    idf floor, as in Lucene).
+
+    Scale shape: the postings table filters to the query's terms FIRST
+    (a tiny broadcast semi-join — scores for a q-term query touch only
+    those q posting lists, never the corpus), doc length and the corpus
+    aggregates (N, avgdl) come from one map-side-combined pass, and the
+    final per-doc score sum + top-k is a TakeOrdered, not a global sort.
+    Scores are IEEE doubles (ln/division); determinism within an engine
+    is exact, ties broken by doc id. The integer inputs (tf, df, dl) are
+    the DuckDB-checkable layer (inverted_postings); the float scoring is
+    pytest-pinned against a from-scratch python BM25.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    spark = df.sparkSession
+    postings = inverted_postings(df, doc_col=doc_col, text_col=text_col, min_df=min_df)
+    qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    hits = postings.join(F.broadcast(qt), "term")
+    lens = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("dl"),
+    )
+    agg = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(agg))
+        .join(lens, "doc_id")
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(float(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", "n_terms_hit", F.round("score", 6).alias("score"))
+    )

@@ -166,3 +166,81 @@ def test_inverted_postings_df_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- bm25_topk ---------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    """Scores must match a from-scratch python BM25 (same Okapi-with-floor
+    formulation) to 1e-6, with the same top-k ordering."""
+    import math
+    from collections import Counter
+
+    from stac_catalog_builder_spark.operators.textops import bm25_topk
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick quick fox"),
+        (3, "the lazy dog sleeps"),
+        (4, "brown bears eat fish"),
+        (5, "fox fox fox fox"),
+        (6, "completely unrelated text about spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    query = ["quick", "fox"]
+    k1, b = 1.2, 0.75
+
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = Counter()
+    for t in toks.values():
+        dfreq.update(set(t))
+    want = {}
+    for d, t in toks.items():
+        tf = Counter(t)
+        s = 0.0
+        hit = 0
+        for q in set(query):
+            if tf[q] == 0:
+                continue
+            hit += 1
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            s += idf * tf[q] * (k1 + 1) / (tf[q] + k1 * (1 - b + b * len(t) / avgdl))
+        if hit:
+            want[d] = (s, hit)
+    out = bm25_topk(df, query, k=4, k1=k1, b=b).collect()
+    assert [r.doc_id for r in out] == [
+        d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ][:4]
+    for r in out:
+        assert abs(r.score - want[r.doc_id][0]) < 1e-6
+        assert r.n_terms_hit == want[r.doc_id][1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ["fox"], k=0)
+
+
+def test_bm25_only_touches_query_posting_lists(spark):
+    """Documents sharing no query term must not appear (the broadcast
+    semi-filter on the postings table is also the correctness boundary)."""
+    from pyspark.sql import functions as F
+
+    from stac_catalog_builder_spark.operators.textops import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = docs.first().text.split(" ")[:2]
+    out = bm25_topk(docs, first, k=5).collect()
+    assert 0 < len(out) <= 5
+    texts = {
+        r.doc_id: r.text
+        for r in docs.where(F.col("doc_id").isin([o.doc_id for o in out])).collect()
+    }
+    for o in out:
+        assert any(t in texts[o.doc_id].split(" ") for t in first)
