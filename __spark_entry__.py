@@ -1925,6 +1925,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["data", "pipeline", "quality"], k=10)
 
 
+def q_contrast_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_multimodal.py pins every stretched payload to
+    exactly the numpy transform under the GROUP's min/max, byte-identical
+    reruns, and the constant-group guard): corpus-statistics image
+    normalization — linear contrast stretch per asset_type, exact integer
+    math, the per-sensor preprocessing a vision pipeline applies before
+    training (operators/multimodal.py::contrast_stretch)."""
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir).where(F.col("img_key") < 500)
+    )
+    out = multimodal.contrast_stretch(imgs)
+    return out.select(
+        "image_id", "lo", "hi", F.crc32(F.col("bytes")).alias("payload_crc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -2047,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_negatives": q_contrastive_negatives,
         "masked_stats": q_masked_stats,
         "bm25_topk": q_bm25_topk,
+        "contrast_stretch": q_contrast_stretch,
     }
 
 

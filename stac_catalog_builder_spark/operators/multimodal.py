@@ -635,3 +635,76 @@ def overview_pyramid(
         gen,
         schema="image_id string, level int, w int, h int, bytes binary, fmt string",
     )
+
+
+def contrast_stretch(
+    df: DataFrame,
+    group_cols: list[str] = ("asset_type",),
+    out_fmt: str = "raw",
+) -> DataFrame:
+    """Normalize images by CORPUS statistics: linear contrast stretch of
+    every image onto [0, 255] using its GROUP's global pixel min/max — the
+    preprocessing a vision pipeline applies per sensor/band so one dark
+    acquisition campaign doesn't dominate training dynamics. Per-image
+    stretching (each image's own min/max) would destroy cross-image
+    comparability; the group statistic is the point.
+
+    Two passes, both bounded: (1) per-image min/max via one decode
+    (Arrow-batched), reduced to per-group bounds by a map-side-combined
+    JVM aggregate — the shuffle carries one partial row per (group,
+    partition); (2) a second decode applying the exact integer stretch
+    ``(x - lo) * 255 div max(hi - lo, 1)`` with the dimension-sized bounds
+    broadcast-joined onto the scene table. All integer math: outputs are
+    byte-deterministic across runs/retries (pytest-pinned vs a numpy
+    twin). Constant-valued groups (hi == lo) map to 0 rather than divide
+    by zero.
+    """
+    group_cols = list(group_cols)
+
+    def minmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                rec = {c: getattr(r, c) for c in group_cols}
+                rec["glo"] = int(arr.min())
+                rec["ghi"] = int(arr.max())
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[*group_cols, "glo", "ghi"])
+
+    gtypes = ", ".join(f"{c} string" for c in group_cols)
+    bounds = (
+        df.select(*group_cols, "bytes", "fmt")
+        .mapInPandas(minmax, schema=f"{gtypes}, glo int, ghi int")
+        .groupBy(*group_cols)
+        .agg(F.min("glo").alias("glo"), F.max("ghi").alias("ghi"))
+    )
+    joined = df.select(*group_cols, "image_id", "bytes", "fmt").join(
+        F.broadcast(bounds), group_cols
+    )
+
+    def stretch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                # NB: itertuples would mangle underscore-prefixed names
+                lo, hi = int(r.glo), int(r.ghi)
+                out = ((arr - lo) * 255 // max(hi - lo, 1)).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": encode_image(np.ascontiguousarray(out), out_fmt),
+                        "fmt": out_fmt,
+                        "lo": lo,
+                        "hi": hi,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt", "lo", "hi"]
+            )
+
+    return joined.mapInPandas(
+        stretch,
+        schema="image_id string, bytes binary, fmt string, lo int, hi int",
+    )

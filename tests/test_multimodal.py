@@ -429,3 +429,43 @@ def test_overview_pyramid_guards(spark):
         overview_pyramid(imgs, max_levels=0)
     with _pytest.raises(ValueError):
         overview_pyramid(imgs, min_dim=1)
+
+
+def test_contrast_stretch_matches_numpy_twin(spark):
+    """Every stretched payload must decode to exactly the numpy transform
+    under the GROUP's (not the image's) min/max, byte-identical across
+    runs; constant-valued groups map to 0 without dividing by zero."""
+    import numpy as np
+
+    from stac_catalog_builder_spark.functions.codecs import decode_image, encode_raw
+    from stac_catalog_builder_spark.operators.multimodal import contrast_stretch
+
+    rng = np.random.RandomState(5)
+    rows = []
+    arrays = {}
+    for g, lo, hi in (("a", 30, 180), ("b", 100, 101)):
+        for i in range(6):
+            arr = rng.randint(lo, hi + 1, size=(8, 10)).astype(np.uint8)
+            arr.flat[0] = lo if i == 0 else arr.flat[0]  # pin group extremes
+            arr.flat[1] = hi if i == 1 else arr.flat[1]
+            iid = f"{g}{i}"
+            arrays[iid] = (g, arr)
+            rows.append((g, iid, bytearray(encode_raw(arr)), "raw"))
+    rows.append(("c", "c0", bytearray(encode_raw(np.full((4, 4), 7, np.uint8))), "raw"))
+    arrays["c0"] = ("c", np.full((4, 4), 7, np.uint8))
+    df = spark.createDataFrame(
+        rows, "asset_type string, image_id string, bytes binary, fmt string"
+    )
+    out = {r.image_id: r for r in contrast_stretch(df).collect()}
+    glo = {g: min(a.min() for gg, a in arrays.values() if gg == g) for g in "abc"}
+    ghi = {g: max(a.max() for gg, a in arrays.values() if gg == g) for g in "abc"}
+    for iid, (g, arr) in arrays.items():
+        r = out[iid]
+        assert (r.lo, r.hi) == (glo[g], ghi[g])
+        want = (
+            (arr.astype(np.int64) - glo[g]) * 255 // max(ghi[g] - glo[g], 1)
+        ).astype(np.uint8)
+        assert np.array_equal(decode_image(bytes(r.bytes), r.fmt), want), iid
+    assert decode_image(bytes(out["c0"].bytes), "raw").max() == 0  # constant group
+    rerun = {r.image_id: bytes(r.bytes) for r in contrast_stretch(df).collect()}
+    assert rerun == {k: bytes(v.bytes) for k, v in out.items()}
