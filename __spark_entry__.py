@@ -1941,6 +1941,26 @@ def q_contrast_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_training_plan.py runs the WHOLE pipeline with
+    shard delivery and asserts the composition invariants: contamination
+    never reaches a shard, planted near-dup twins never contribute, every
+    context respects the budget, re-runs are byte-identical no-ops): the
+    end-to-end training-data plan — clean -> decontaminate -> dedup ->
+    leakage-safe split -> chunk -> pack, returning the packed contexts
+    with provenance (plans/training.py::build_training_contexts)."""
+    from stac_catalog_builder_spark.plans.training import build_training_contexts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.where("doc_id < 5").select("text")
+    contexts, _, _, _ = build_training_contexts(spark, docs, bench, salt=3)
+    return contexts.select(
+        "context_id", "n_tokens", "n_chunks", "doc_ids"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -2064,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_stats": q_masked_stats,
         "bm25_topk": q_bm25_topk,
         "contrast_stretch": q_contrast_stretch,
+        "training_contexts": q_training_contexts,
     }
 
 
