@@ -405,6 +405,11 @@ def contrastive_negatives(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     ranked = deterministic_shuffle(df.select(key_col), key_col, salt=salt)
+    # the rank table is referenced up to three times (count, anchors,
+    # negatives); materialize it once instead of re-running the shuffle-rank
+    # pipeline per reference (lazy: first action triggers it — the same
+    # lineage-truncation pattern as operators/graph.py)
+    ranked = ranked.localCheckpoint(eager=False)
     n = int(n_rows) if n_rows is not None else ranked.count()
     if k >= n:
         raise ValueError(f"k must be < n rows: k={k}, n={n}")
