@@ -1961,6 +1961,24 @@ def q_training_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (tests/test_parity_rowsonly.py replays registers ->
+    ceil-rank thresholds -> the value>=threshold bucket count in DuckDB
+    value-exactly; tests/test_sketches.py pins balance and boundary
+    semantics): equi-depth quartile buckets of document length per lang —
+    curriculum/stratification binning WITHOUT a global sort (an ntile
+    window would serialize each group through one task)
+    (operators/sketches.py::equi_depth_buckets)."""
+    from stac_catalog_builder_spark.operators.sketches import equi_depth_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return equi_depth_buckets(
+        docs, ["lang"], "n_chars", n_buckets=4, lo=0, hi=4096, n_bins=512
+    ).select("doc_id", "lang", "n_chars", F.col("bucket").cast("int").alias("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry.
 
@@ -2085,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "contrast_stretch": q_contrast_stretch,
         "training_contexts": q_training_contexts,
+        "equi_depth": q_equi_depth,
     }
 
 

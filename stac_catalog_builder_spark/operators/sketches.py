@@ -741,3 +741,50 @@ def fixity_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         .alias("fixity_sum"),
         F.expr("bit_xor(fixity_xor)").alias("fixity_xor"),
     )
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    n_buckets: int,
+    lo: int,
+    hi: int,
+    n_bins: int = 2048,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row its equi-depth (quantile) bucket within its group —
+    curriculum ordering, difficulty stratification, length-balanced eval
+    slices — WITHOUT a global sort: bucket thresholds come from the
+    mergeable histogram sketch (``hist_quantiles``: deterministic, error
+    bounded by one bin width), and the assignment given the thresholds is
+    an exact codegen comparison.
+
+    Why not ``ntile()``: a per-group ntile window sorts every group in one
+    task — a hot group serializes at 10^12 rows. Here the fact table is
+    touched twice, both map-friendly: once reduced to at most ``n_bins``
+    register rows per group (map-side combine), once filtered against the
+    broadcast dimension-sized threshold table. Bucket populations are
+    equal up to bin-width resolution (pytest bounds the imbalance and pins
+    the boundary semantics: a row lands in bucket b iff value >= b
+    thresholds, thresholds = the ceil-rank quantile bins' UPPER edges, so
+    ties at a threshold go to the higher bucket deterministically).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    regs = hist_registers(df, group_cols, val_col, lo, hi, n_bins)
+    qs = [i * 1_000_000 // n_buckets for i in range(1, n_buckets)]
+    th = hist_quantiles(regs, group_cols, qs, lo, hi, n_bins)
+    ths = th.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("bin_hi")).alias("_ths")
+    )
+    bucket = F.size(
+        F.filter(
+            F.col("_ths"), lambda t: F.col(val_col).cast("bigint") >= t
+        )
+    )
+    return (
+        df.join(F.broadcast(ths), group_cols)
+        .withColumn(out_col, bucket)
+        .drop("_ths")
+    )

@@ -2260,3 +2260,45 @@ anchors AS (
 SELECT a.anchor, g.doc_id AS negative, CAST(a.neg_rank AS INT) AS neg_rank
 FROM anchors a JOIN ranked g ON a.npos = g.pos
 """
+
+
+def sql_equi_depth(
+    lo: int = 0, hi: int = 4096, n_bins: int = 512, n_buckets: int = 4
+) -> str:
+    """Replay of q_equi_depth: histogram registers over n_chars, ceil-rank
+    threshold bins per (lang), UPPER bin edges as thresholds, and the
+    value >= threshold bucket count — exact int64 end to end."""
+    span = hi - lo
+    qs = [i * 1_000_000 // n_buckets for i in range(1, n_buckets)]
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH regs AS (
+  SELECT lang,
+         (LEAST(GREATEST(CAST(n_chars AS BIGINT), {lo}), {hi - 1}) - {lo})
+           * {n_bins} // {span} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, bin
+),
+cum AS (
+  SELECT lang, bin,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM regs
+),
+qs(q_e6) AS (VALUES {q_rows}),
+hit AS (
+  SELECT lang, CAST(q_e6 AS BIGINT) AS q_e6, MIN(bin) AS bin
+  FROM cum, qs
+  WHERE cum >= GREATEST(1, (n * q_e6 + 999999) // 1000000)
+  GROUP BY lang, q_e6
+),
+ths AS (
+  SELECT lang, {lo} + ((bin + 1) * {span}) // {n_bins} AS th FROM hit
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(COALESCE(SUM(CASE WHEN d.n_chars >= t.th THEN 1 ELSE 0 END), 0)
+            AS INT) AS bucket
+FROM documents d JOIN ths t ON d.lang = t.lang
+GROUP BY d.doc_id, d.lang, d.n_chars
+"""

@@ -863,3 +863,9 @@ def test_contrastive_negatives_exact_vs_duckdb(spark, con):
         con,
         oracles.sql_contrastive_negatives(),
     )
+
+
+def test_equi_depth_exact_vs_duckdb(spark, con):
+    """Histogram registers -> ceil-rank thresholds -> bucket count replayed
+    end to end — exact int64."""
+    _assert_parity(e.q_equi_depth(spark, SF), con, oracles.sql_equi_depth())

@@ -578,3 +578,57 @@ def test_fixity_detects_corruption_and_duplication(spark, fixity_rows):
     assert dup.fixity_xor == base["c1"].fixity_xor  # xor lane blind to the pair
     assert dup.fixity_sum != base["c1"].fixity_sum  # sum lane catches it
     assert dup.n_items == base["c1"].n_items + 2
+
+
+# --- equi-depth buckets ------------------------------------------------------
+
+
+def test_equi_depth_buckets_balance_and_semantics(spark):
+    """Bucket populations balanced within bin-width resolution; the
+    boundary rule (value >= b thresholds -> bucket b) replayed exactly in
+    python from the same sketch thresholds; repartition-invariant."""
+    from stac_catalog_builder_spark.operators.sketches import (
+        equi_depth_buckets,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = equi_depth_buckets(
+        docs, ["lang"], "n_chars", n_buckets=4, lo=0, hi=4096, n_bins=512
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # python twin: thresholds from the same sketch, same >= rule
+    regs = hist_registers(docs, ["lang"], "n_chars", 0, 4096, 512)
+    th = hist_quantiles(
+        regs, ["lang"], [250_000, 500_000, 750_000], 0, 4096, 512
+    ).collect()
+    by_lang: dict = {}
+    for t in th:
+        by_lang.setdefault(t.lang, []).append(t.bin_hi)
+    for v in by_lang.values():
+        v.sort()
+    for r in rows:
+        want = sum(1 for t in by_lang[r.lang] if r.n_chars >= t)
+        assert r.bucket == want, (r.lang, r.n_chars)
+    # balance: every bucket within 2x of perfect quarter per group
+    from collections import Counter
+
+    per = Counter((r.lang, r.bucket) for r in rows)
+    total = Counter(r.lang for r in rows)
+    for (lang, b), cnt in per.items():
+        assert 0 <= b <= 3
+        assert cnt <= 2 * (total[lang] / 4 + 1), (lang, b, cnt)
+    re = {
+        (r.doc_id, r.bucket)
+        for r in equi_depth_buckets(
+            docs.repartition(13), ["lang"], "n_chars",
+            n_buckets=4, lo=0, hi=4096, n_bins=512,
+        ).collect()
+    }
+    assert re == {(r.doc_id, r.bucket) for r in rows}
+    with pytest.raises(ValueError):
+        equi_depth_buckets(docs, ["lang"], "n_chars", n_buckets=1, lo=0, hi=10)
