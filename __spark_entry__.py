@@ -1900,7 +1900,9 @@ def q_masked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = multimodal.with_encoded_bytes(
         _images_fp(spark, sf_dir).where(F.col("img_key") < 300)
     )
-    comps = composite_tiles(imgs, tile_cells=64)
+    # the composite feeds both the mask's tile restriction and the stats
+    # join — materialize it once (lazy, same pattern as the CC machinery)
+    comps = composite_tiles(imgs, tile_cells=64).localCheckpoint(eager=False)
     masks = rasterize_polygons(
         spark,
         _boundary_polygons(spark, sf_dir),
