@@ -42,8 +42,14 @@ def _micro(col: str) -> F.Column:
     return F.floor(F.col(col) * 100000.0 + F.lit(0.5)).cast("bigint")
 
 
-def _images_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_footprint(synth.images(spark, sf_dir))
+def _images_fp(spark: SparkSession, sf_dir: str, fan_out: bool = False) -> DataFrame:
+    # fan_out stays OFF for the JVM-only pipelines (measured, r6): the
+    # single-row-group scan does serialize the first map stage, but at this
+    # table width the repartition round trip costs more than the serial
+    # projection it parallelizes (interleaved A/B: cell_assign 0.43->0.56,
+    # knn 0.85->0.98, hll 3.0->3.8). Python-kernel consumers are the
+    # exception — with_encoded_bytes fans out internally (10.5s -> 1.5s).
+    return with_footprint(synth.images(spark, sf_dir, fan_out=fan_out))
 
 
 def _boundary_polygons(spark: SparkSession, sf_dir: str) -> list[dict]:
@@ -518,6 +524,12 @@ def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan-out here (measured, r6): the documents consumers are
+    # multi-stage join/aggregate pipelines over a small corpus whose caches
+    # and shuffles would inherit the fanned-out partition count — per-task
+    # overhead across their many sequential jobs cost 2-4x more than the
+    # serial first map stage saves (minhash_pairs 2.3s -> 5.9s interleaved
+    # A/B). The images fan-out is different: one map-heavy pass, no cache.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -895,7 +907,9 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: decode -> block-mean embedding -> cosine top-3 neighbors
     for 10 probe images (the image-side ANN pipeline end-to-end)."""
-    imgs = multimodal.with_encoded_bytes(_images_fp(spark, sf_dir).limit(300))
+    imgs = multimodal.with_encoded_bytes(
+        _images_fp(spark, sf_dir, fan_out=False).limit(300)
+    )
     emb = multimodal.image_embedding(imgs).withColumnRenamed("image_id", "vec_id")
     qs = emb.where(F.col("vec_id") < F.lit("img_00000020")).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -909,7 +923,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PCM-WAV decode + features (duration/RMS/zero-crossings/
     dominant frequency) with the lossless-PCM invariant; pytest asserts
     pcm_ok on every row and dominant_hz tracks the synth tone."""
-    imgs = multimodal.with_audio_bytes(synth.images(spark, sf_dir).limit(300))
+    imgs = multimodal.with_audio_bytes(
+        synth.images(spark, sf_dir, fan_out=False).limit(300)
+    )
     return multimodal.audio_features(imgs)
 
 
@@ -918,7 +934,9 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 3 rows/clip); pytest asserts frame pixels round-trip exactly. The
     binary frame payload is fingerprinted (md5) for the driver harness —
     raw binary columns break pandas-side comparison."""
-    imgs = multimodal.with_video_bytes(synth.images(spark, sf_dir).limit(200))
+    imgs = multimodal.with_video_bytes(
+        synth.images(spark, sf_dir, fan_out=False).limit(200)
+    )
     out = multimodal.video_frame_sample(imgs, every_n=8)
     return out.select(
         "image_id", "frame_idx", "n_frames", "ts_ms", "mean_x1000",
@@ -1015,7 +1033,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table — a pure map-side assignment (no shuffle, no RNG;
     stable under retries/repartitioning, which DataFrame.sample is not) —
     summarized per split."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     out = sampling.dataset_split(docs, "doc_id")
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1029,7 +1047,7 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (pytest: deterministic per-source hash sampling): training
     mixture — two document sources sampled at different rates, unioned with
     a source tag (zero exchanges before the summary agg)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
     out = sampling.weighted_mixture(
         {"primary": docs, "upweight": docs.where(F.col("lang") == "en")},
         {"primary": 0.5, "upweight": 0.9},
@@ -1046,7 +1064,7 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table — each row's dense rank under (bucket(key), key),
     computed block-wise with no global sort (see
     sampling.deterministic_shuffle)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return sampling.deterministic_shuffle(docs, "doc_id", salt=3, n_blocks=64)
 
 
@@ -1058,7 +1076,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     per context."""
     from stac_catalog_builder_spark.operators.packing import pack_sequences
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     chunks = textops.chunk_documents(docs, chunk_tokens=64, overlap=0).select(
         F.concat_ws("_", "doc_id", "chunk_idx").alias("chunk_id"),
         F.col("n_chunk_tokens").alias("n_tokens"),
@@ -1077,7 +1095,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-gram with them is dropped and reported (GPT-3-style rule). The
     synthetic corpus's template near-dups make hits non-trivial. Emits the
     contamination report plus a one-row summary of the clean count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") < 10).select("text")
     clean, report = textops.decontaminate(docs, bench, n=13)
     summary = clean.agg(
@@ -1686,7 +1704,7 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-set quotas (operators/sampling.py::group_sample)."""
     from stac_catalog_builder_spark.operators.sampling import group_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
     return group_sample(docs, ["lang", "source"], "doc_id", k=7, salt=3)
@@ -1799,7 +1817,7 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.py::inverted_postings)."""
     from stac_catalog_builder_spark.operators.textops import inverted_postings
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return inverted_postings(docs, min_df=3, max_df=2000)
 
 
@@ -1879,7 +1897,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrastive_negatives,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return contrastive_negatives(docs, "doc_id", k=4, salt=2)
 
 
@@ -1923,7 +1941,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.py::bm25_topk)."""
     from stac_catalog_builder_spark.operators.textops import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return bm25_topk(docs, ["data", "pipeline", "quality"], k=10)
 
 
@@ -1953,7 +1971,7 @@ def q_training_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with provenance (plans/training.py::build_training_contexts)."""
     from stac_catalog_builder_spark.plans.training import build_training_contexts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", "text"
     )
     bench = docs.where("doc_id < 5").select("text")
@@ -1973,7 +1991,7 @@ def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.py::equi_depth_buckets)."""
     from stac_catalog_builder_spark.operators.sketches import equi_depth_buckets
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", "n_chars"
     )
     return equi_depth_buckets(

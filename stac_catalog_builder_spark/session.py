@@ -20,10 +20,16 @@ _BASE_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # coalesce by advisory size, not default parallelism: multi-stage plans
-    # over small shuffles otherwise schedule cores x tasks of pure overhead;
-    # at production scale partitions are sized by advisoryPartitionSize anyway
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst=true (the Spark default): when post-shuffle bytes are
+    # below parallelism x advisory size, coalesce down to ~1MB partitions
+    # that still respect the core count instead of collapsing to ONE task.
+    # r5 ran with "false", which serialized every post-shuffle stage at
+    # bench scale (a 10MB aggregate input coalesced to a single 64MB-target
+    # partition — measured: hll_distinct register build and the LSH
+    # signature stages ran on one core). At production scale partitions
+    # exceed the advisory size and the flag is irrelevant, so "true" is the
+    # scale-adaptive setting, not a local tune.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # pandas UDF batches: big enough to amortize Arrow transfer, small enough

@@ -121,6 +121,12 @@ def write_items_partitioned(
         base = base.withColumn("month", F.month("datetime"))
     day = F.dayofmonth("datetime") if "day" not in base.columns else F.col("day")
     base = base.withColumn("day", day)
+    # Cluster by the partition key before the write (guide §6): each output
+    # directory is then produced by one parallel task — N input tasks x P
+    # directories would write N*P small files at scale, and a single-task
+    # input (single-row-group SF scans) would write every directory
+    # serially. The shuffle moves exactly the rows being written.
+    base = base.repartition(F.col("year"), F.col("month"), F.col("day"))
     # O4: deterministic within-file ordering (the reference's sort_index,
     # terracatalog.py:612) without a global sort — no extra shuffle
     sort_key = "item_id" if "item_id" in base.columns else base.columns[0]

@@ -50,10 +50,20 @@ _OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
 _INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
 
 
-def _dynamic_overwrite(df: DataFrame, path: Path, part_col: str) -> None:
+def _dynamic_overwrite(
+    df: DataFrame, path: Path, part_col: str, cluster: bool = True
+) -> None:
     """Partition-scoped idempotent upsert: overwrite ONLY the partitions
-    present in ``df``, leave all others untouched."""
+    present in ``df``, leave all others untouched.
+
+    ``cluster`` repartitions by the partition column first (guide §6): one
+    parallel writer per directory instead of N input tasks each appending a
+    file to every directory (N*P small files at scale; fully serial when
+    the input is a single-row-group scan). Skipped for the dimension-sized
+    metrics/lineage upserts, where a shuffle is pure overhead."""
     spark = df.sparkSession
+    if cluster:
+        df = df.repartition(F.col(part_col))
     prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
     spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
     try:
@@ -177,7 +187,9 @@ class SnapshotStore:
                 [(k, n, stage) for k, n in mrows],
                 "part_key string, n_rows bigint, stage string",
             )
-            _dynamic_overwrite(metrics_df, self._metrics_path(stage), "part_key")
+            _dynamic_overwrite(
+                metrics_df, self._metrics_path(stage), "part_key", cluster=False
+            )
 
         if new_keys:
             # 4. lineage last = commit marker (also an idempotent upsert;
@@ -185,7 +197,9 @@ class SnapshotStore:
             lineage_df = spark.createDataFrame(
                 [(k, stage) for k in new_keys], "part_key string, stage string"
             )
-            _dynamic_overwrite(lineage_df, self._lineage_path(stage), "part_key")
+            _dynamic_overwrite(
+                lineage_df, self._lineage_path(stage), "part_key", cluster=False
+            )
 
         snap = {
             "ts": time.time(),

@@ -63,7 +63,9 @@ def _h2(key: Column) -> Column:
     return (key * F.lit(A_LAT)) % F.lit(M32)
 
 
-def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def images(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, fan_out: bool = False
+) -> DataFrame:
     """The synthetic image+caption table, derived from ``orders``.
 
     Columns: img_key, image_id, phash, w, h, fmt, asset_type, item_id,
@@ -75,8 +77,19 @@ def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
 
     ``replicate`` scales the table deterministically (disjoint key ranges per
     replica) for bench runs beyond the driver's SF tiers.
+
+    ``fan_out=True`` repartitions the KEY column (one int64 per row — the
+    only column this projection reads) when the parquet scan cannot feed the
+    default parallelism (single-row-group SF files scan as one task, which
+    would serialize every map-side consumer above; see ``parallel.fan_out``).
+    Off by default so ``limit()``-based samplers keep their row selection;
+    entry/bench call sites that are partition-invariant opt in.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if fan_out and replicate == 1:
+        from .parallel import fan_out as _fan_out
+
+        orders = _fan_out(orders.select("o_orderkey"))
     if replicate > 1:
         # replicas via a partitioned range DRIVING a broadcast of the key
         # column: scales to any replicate with no shuffle and no giant plan
@@ -108,9 +121,20 @@ def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     asset_type = F.element_at(
         F.array(*[F.lit(x) for x in ASSET_TYPES]), (key % 2 + 1).cast("int")
     )
+    # String/timestamp derivations avoid format_string / to_timestamp
+    # (java.lang.String.format + a parse round trip — measured ~2x the cost
+    # of concat/lpad/make_timestamp for bit-identical output; r6 A/B with a
+    # zero-diff equality check over the full key domain). The lpad branch
+    # guards %08d semantics for keys >= 1e8 (replicate mode): lpad would
+    # TRUNCATE them where %08d prints all digits.
     return orders.select(
         key.alias("img_key"),
-        F.format_string("img_%08d", key).alias("image_id"),
+        F.concat(
+            F.lit("img_"),
+            F.when(
+                key < 100_000_000, F.lpad(key.cast("string"), 8, "0")
+            ).otherwise(key.cast("string")),
+        ).alias("image_id"),
         (h1 * F.lit(M20) + (h2 % F.lit(M20))).alias("phash"),
         h1.alias("h1"),
         h2.alias("h2"),
@@ -121,15 +145,17 @@ def images(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
         F.concat(F.lit("observations_"), item_key.cast("string")).alias("item_id"),
         year.alias("year"),
         month.alias("month"),
-        F.to_timestamp(F.format_string("%04d-%02d-01 00:00:00", year, month)).alias(
-            "datetime"
-        ),
-        F.format_string(
-            "%s observation %04d-%02d over item %d",
+        F.make_timestamp(
+            year, month, F.lit(1), F.lit(0), F.lit(0), F.lit(0)
+        ).alias("datetime"),
+        F.concat(
             asset_type,
-            year,
-            month,
-            item_key,
+            F.lit(" observation "),
+            F.lpad(year.cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(month.cast("string"), 2, "0"),
+            F.lit(" over item "),
+            item_key.cast("string"),
         ).alias("caption"),
         # per-asset tags map (reference metadata.py:149-150); merged/overridden
         # by operators.assets.merge_tags, exploded in the tags_merge oracle
