@@ -474,11 +474,24 @@ def rasterize_polygons(
                 out, columns=["tile_x", "tile_y", "label", "n_inside_px", "mask"]
             )
 
-    return work.mapInPandas(
+    out = work.mapInPandas(
         paint,
         schema=(
             "tile_x bigint, tile_y bigint, label string, "
             "n_inside_px int, mask binary"
+        ),
+    )
+    # Stamp the lattice contract into the mask column's schema METADATA
+    # (ADVICE r5): masked_composite_stats can then validate at plan time
+    # that the masks were painted on the composite's pixel lattice
+    # (cell_micro == PX_MICRO, same tile_cells) instead of silently
+    # producing an empty/wrong tile join when the caller rasterized at the
+    # default coarse pitch. Metadata rides the schema — no extra column,
+    # no job, downstream row values unchanged.
+    return out.withColumn(
+        "mask",
+        F.col("mask").alias(
+            "mask", metadata={"cell_micro": C, "tile_cells": T}
         ),
     )
 
@@ -503,6 +516,23 @@ def masked_composite_stats(
     polygon; tiles without a mask (or vice versa) drop in the join.
     """
     T = int(tile_cells)
+    # Lattice-contract validation (ADVICE r5): the tile join is only
+    # meaningful when the masks were rasterized at the composite's pixel
+    # pitch (cell_micro == PX_MICRO) with the same tile size — otherwise
+    # the (tile_x, tile_y) keys index DIFFERENT lattices and the join is
+    # silently empty/wrong. rasterize_polygons stamps its lattice into the
+    # mask column's schema metadata; masks built elsewhere (no metadata)
+    # are accepted on the caller's word, as before.
+    meta = masks.schema["mask"].metadata if "mask" in masks.columns else {}
+    if meta:
+        got = (meta.get("cell_micro"), meta.get("tile_cells"))
+        if got != (PX_MICRO, T):
+            raise ValueError(
+                f"mask lattice {got} != composite lattice "
+                f"(cell_micro={PX_MICRO}, tile_cells={T}): rasterize with "
+                f"cell_micro={PX_MICRO} and tile_cells={T} for pixel-exact "
+                "clipping"
+            )
     joined = composites.select(
         "tile_x", "tile_y", "bytes", "counts"
     ).join(masks.select("tile_x", "tile_y", "label", "mask"), ["tile_x", "tile_y"])
@@ -539,9 +569,10 @@ def masked_composite_stats(
     )
     return partials.groupBy("label").agg(
         F.sum("n_px").alias("n_px"),
-        (F.lit(1000) * F.sum("sum_px") / F.sum("n_px"))
-        .cast("bigint")
-        .alias("mean_e3"),
+        # int64 floor division end to end (ADVICE r5): the double-division
+        # form loses exactness once 1000*sum exceeds 2^53 and diverges from
+        # the repo's `div` idiom for every other *_e3 column
+        F.expr("1000 * sum(sum_px) div sum(n_px)").alias("mean_e3"),
         F.min("min_px").alias("min_px"),
         F.max("max_px").alias("max_px"),
     )

@@ -352,8 +352,15 @@ def knn_join_cellring(
         else None
     )
     if pending:
+        # fall back over the (possibly persisted) fact PROJECTION, not the
+        # caller's frame: identical (image_id, lon, lat) rows, but in
+        # adaptive mode the projection is already cached — the exact pass
+        # then reads the cache instead of re-running the caller's scan
+        # lineage (measured ~0.6s per call at sf0.1 for one edge-unsafe
+        # query). Column pruning drops the unused cell column, so the
+        # encode UDF never runs on this path.
         fallback = knn_join(
-            images,
+            fact.select("image_id", "lon", "lat"),
             queries.join(F.broadcast(_id_frame(pending)), "query_id", "semi"),
             k,
         )
@@ -403,14 +410,20 @@ def radius_join(
         cell_deg = radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat)))
     if cell_deg <= 0 or cell_deg > 90.0:
         raise ValueError(f"cell_deg out of range (0, 90]: {cell_deg}")
-    nx = max(int(math.ceil(360.0 / cell_deg)), 1)
+    # UNIFORM lon cells >= cell_deg wide (ADVICE r5, high): with
+    # nx = ceil(360/cell_deg) the LAST cell is narrower than cell_deg, so a
+    # qualifying pair straddling it sits 2 cells apart mod nx and never
+    # meets in the 3x3 join. nx = floor makes every cell 360/nx >= cell_deg
+    # wide, and _gx keys on floor((lon+180) * nx / 360) so the wrap via
+    # pmod is exact (regression test: seam pair at cell nx-2 <-> cell 0).
+    nx = max(int(math.floor(360.0 / cell_deg)), 1)
 
     def xy(frame: DataFrame, id_col: str) -> DataFrame:
         return frame.select(
             F.col(id_col),
             F.col(lon).alias("_lon"),
             F.col(lat).alias("_lat"),
-            F.floor((F.col(lon) + 180.0) / F.lit(float(cell_deg)))
+            F.floor((F.col(lon) + 180.0) * F.lit(float(nx)) / F.lit(360.0))
             .cast("bigint")
             .alias("_gx"),
             F.floor((F.col(lat) + 90.0) / F.lit(float(cell_deg)))

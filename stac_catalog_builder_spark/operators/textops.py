@@ -272,8 +272,12 @@ def inverted_postings(
     never crosses the wire raw, only combined partials do — and df via one
     more aggregate over the tf table (already term-keyed, so AQE reuses
     the narrower exchange). ``min_df``/``max_df`` prune hapax noise and
-    stopword-degenerate terms AFTER df is known; the df join is a
-    broadcast of the dimension-sized term table.
+    stopword-degenerate terms AFTER df is known; the df join is hinted
+    broadcast only when those bounds actually prune (ADVICE r5) — with the
+    default ``min_df=1`` the "term table" is the ENTIRE corpus vocabulary,
+    which at web scale exceeds any broadcast limit; in that case the
+    strategy is left to AQE, which still broadcasts small vocabularies by
+    its own measured size.
 
     Output: term, df, doc_id, tf — sorted consumers (delta-encoded posting
     files) get their order from a write-time sortWithinPartitions, not a
@@ -296,7 +300,9 @@ def inverted_postings(
     if max_df is not None:
         dfreq = dfreq.where(F.col("df") <= F.lit(int(max_df)))
     dfreq = dfreq.where(F.col("df") >= F.lit(int(min_df)))
-    return tf.join(F.broadcast(dfreq), "term").select("term", "df", "doc_id", "tf")
+    pruned = min_df > 1 or max_df is not None
+    dim = F.broadcast(dfreq) if pruned else dfreq
+    return tf.join(dim, "term").select("term", "df", "doc_id", "tf")
 
 
 def bm25_topk(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators.graph import dedup_groups
 from ..operators.packing import pack_sequences
 from ..operators.sampling import leakage_safe_split
@@ -65,6 +66,14 @@ def build_training_contexts(
     kept = clean_docs.join(
         groups.where(F.col("is_kept")).select("doc_id", "group_id"), "doc_id"
     )
+    # scoped-persist the dedup subgraph's OUTPUT (VERDICT r5 #1): kept/train
+    # feed both the shard sink and the caller's stats counts; without the
+    # cache each consumer re-executes decontaminate -> LSH -> connected
+    # components — the most expensive lineage in the repo — once per count.
+    # Lifecycle: replaced on the next call, releasable via cache.release()
+    # (build_training_shards releases after its stats). The cache holds the
+    # SURVIVOR set (post-dedup), not the raw corpus, and spills to disk.
+    kept = cache.scoped_persist("training_kept", kept)
     split = leakage_safe_split(
         kept.drop("group_id"),
         groups,
@@ -73,7 +82,9 @@ def build_training_contexts(
         weights=split_weights,
         salt=salt,
     )
-    train = split.where(F.col("split") == "train")
+    train = cache.scoped_persist(
+        "training_train", split.where(F.col("split") == "train")
+    )
     chunks = chunk_documents(
         train, chunk_tokens=chunk_tokens, overlap=overlap
     ).select(
@@ -146,11 +157,19 @@ def build_training_shards(
         payload_ext="txt",
         meta_cols=["n_tokens", "n_chunks", "doc_ids"],
     ).collect()
-    return {
+    # Stats without re-running the pipeline (VERDICT r5 #1): the sink job
+    # materialized the kept/train caches on its way, so those counts are
+    # cache reads; n_contexts comes straight from the manifest (every
+    # context is exactly one shard member — no job at all). Only the cheap
+    # input/report passes still touch the raw corpus.
+    stats = {
         "n_docs_in": docs.count(),
         "n_contaminated": report.where(F.col("doc_id") >= 0).count(),
         "n_kept": kept.count(),
         "n_train": train.count(),
-        "n_contexts": contexts.count(),
+        "n_contexts": sum(m["n_members"] for m in manifest),
         "shards": manifest,
     }
+    cache.release("training_kept")
+    cache.release("training_train")
+    return stats

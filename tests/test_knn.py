@@ -127,3 +127,31 @@ def test_radius_join_guards(spark):
         radius_join(df, rt, radius_m=0.0)
     with pytest.raises(ValueError):
         radius_join(df, rt, radius_m=1000.0, cell_deg=100.0)
+
+
+def test_radius_join_seam_cells_not_adjacent_mod_nx(spark):
+    """ADVICE r5 (high) regression: with ceil-derived lon cells the LAST
+    cell is narrower than cell_deg, so a qualifying pair can sit in cells
+    (nx-2, 0) — 2 apart mod nx — and silently vanish from the 3x3 join.
+    The reproduction pair: ~71 km apart at lat 60 across the antimeridian,
+    radius 120 km, default cell sizing (the q_radius_join configuration)."""
+    import math
+
+    from stac_catalog_builder_spark.operators.knn import radius_join
+
+    L = spark.createDataFrame(
+        [("q", 178.77, 60.0)], "query_id string, lon double, lat double"
+    )
+    R = spark.createDataFrame(
+        [("p", -179.95, 60.0)], "image_id string, lon double, lat double"
+    )
+    out = radius_join(L, R, radius_m=120_000.0).collect()
+    assert len(out) == 1 and out[0].query_id == "q" and out[0].image_id == "p"
+    # pin WHY this pair is the seam case: under the old ceil-derived
+    # lattice (nx = ceil(360/cell_deg), key = floor((lon+180)/cell_deg))
+    # the pair's cells are 2 apart mod nx — outside the 3x3 neighborhood
+    cell_deg = 120_000.0 / (111_000.0 * math.cos(math.radians(66.0)))
+    old_nx = int(math.ceil(360.0 / cell_deg))
+    old_q = math.floor((178.77 + 180.0) / cell_deg) % old_nx
+    old_p = math.floor((-179.95 + 180.0) / cell_deg) % old_nx
+    assert min((old_q - old_p) % old_nx, (old_p - old_q) % old_nx) == 2
