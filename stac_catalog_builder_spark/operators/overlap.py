@@ -56,6 +56,13 @@ DEFAULT_SCALE = 40_000
 # footprint diameter (256 px * 0.000125 deg/px * 2 halves = 0.064 deg), so a
 # bbox touches at most 2x2 cells.
 DEFAULT_CELL_MICRO = 2_600
+# union-area default is SMALLER: with the full-cover short circuit the slab
+# fold runs only on boundary cells, so smaller cells make more interior
+# cells prunable — the r6 re-study (OPTIMIZATION_r06.md) measured 1300 best
+# (interleaved at sf0.1: 2600 -> 5.7s, 1300 -> 3.4-4.6s, 650 -> 4.1-5.0s;
+# the r5 study's small-cells-lose result only held without the prune).
+# Results are cell-size INVARIANT (pytest-pinned), so this is plan-only.
+DEFAULT_UNION_CELL_MICRO = 1_300
 
 
 def _micro(col: Column, offset: float, scale: int) -> Column:
@@ -63,11 +70,22 @@ def _micro(col: Column, offset: float, scale: int) -> Column:
 
     ``floor((x + offset) * scale + 0.5)`` — one IEEE add, one multiply, one
     floor, identical in Spark/DuckDB/numpy (rounding-mode independent, unlike
-    round()).  ``offset`` shifts coordinates non-negative so the later
-    integer ``div`` never sees a negative operand (Spark ``div`` truncates
-    toward zero, DuckDB ``//`` floors — they only agree on non-negatives).
+    round()).  ``offset`` shifts coordinates non-negative for points ON the
+    [-180, 180) x [-90, 90) domain; footprint HALVES can still overhang it
+    (a scene centered at lon -179.99 has fp_w < -180), so cell assignment
+    must use true FLOOR division (``_floor_div``) — Spark's ``div``
+    truncates toward zero and silently mis-cells the overhang (r6 find:
+    cell-size-DEPENDENT union areas at sf0.1; DuckDB's ``//`` floors, so
+    the parity replays always had floor semantics).
     """
     return F.floor((col + F.lit(offset)) * F.lit(float(scale)) + F.lit(0.5))
+
+
+def _floor_div(expr: str, d: int) -> str:
+    """SQL text for exact floor division of a possibly-negative int64
+    expression by a positive literal (pmod is always non-negative, so the
+    adjusted numerator is an exact multiple and ``div`` cannot truncate)."""
+    return f"(({expr}) - pmod(({expr}), {d})) div {d}"
 
 
 def footprint_iou_pairs(
@@ -120,12 +138,18 @@ def footprint_iou_pairs(
     cells = boxes.select(
         "fid", "xw", "xe", "ys", "yn",
         F.explode(
-            F.sequence(F.expr(f"xw div {cell_micro}"), F.expr(f"(xe - 1) div {cell_micro}"))
+            F.sequence(
+                F.expr(_floor_div("xw", cell_micro)),
+                F.expr(_floor_div("xe - 1", cell_micro)),
+            )
         ).alias("cx"),
     ).select(
         "fid", "xw", "xe", "ys", "yn", "cx",
         F.explode(
-            F.sequence(F.expr(f"ys div {cell_micro}"), F.expr(f"(yn - 1) div {cell_micro}"))
+            F.sequence(
+                F.expr(_floor_div("ys", cell_micro)),
+                F.expr(_floor_div("yn - 1", cell_micro)),
+            )
         ).alias("cy"),
     )
     a, b = cells.alias("a"), cells.alias("b")
@@ -148,8 +172,8 @@ def footprint_iou_pairs(
         # canonical cell: only the cell holding the intersection's SW corner
         # reports the pair (it is covered by both boxes, so exactly one of
         # the shared cells matches) — duplicate-free without a distinct
-        & (F.col("a.cx") == F.expr(f"greatest(a.xw, b.xw) div {cell_micro}"))
-        & (F.col("a.cy") == F.expr(f"greatest(a.ys, b.ys) div {cell_micro}"))
+        & (F.col("a.cx") == F.expr(_floor_div("greatest(a.xw, b.xw)", cell_micro)))
+        & (F.col("a.cy") == F.expr(_floor_div("greatest(a.ys, b.ys)", cell_micro)))
         # IoU threshold, cross-multiplied (exact)
         & (inter * F.lit(100) >= F.lit(min_iou_pct) * uni),
         "inner",
@@ -175,7 +199,7 @@ def footprint_union_area(
     east: str = "fp_e",
     north: str = "fp_n",
     scale: int = DEFAULT_SCALE,
-    cell_micro: int = DEFAULT_CELL_MICRO,
+    cell_micro: int = DEFAULT_UNION_CELL_MICRO,
     lon_offset: float = 180.0,
     lat_offset: float = 90.0,
 ) -> DataFrame:
@@ -234,12 +258,22 @@ def footprint_union_area(
     boxes = raw.distinct()  # identical footprints cannot change the union
     clipped = (
         boxes.withColumn(
-            "cx", F.explode(F.sequence(F.expr("xw div " + str(cell_micro)),
-                                       F.expr("(xe - 1) div " + str(cell_micro))))
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.expr(_floor_div("xw", cell_micro)),
+                    F.expr(_floor_div("xe - 1", cell_micro)),
+                )
+            ),
         )
         .withColumn(
-            "cy", F.explode(F.sequence(F.expr("ys div " + str(cell_micro)),
-                                       F.expr("(yn - 1) div " + str(cell_micro))))
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.expr(_floor_div("ys", cell_micro)),
+                    F.expr(_floor_div("yn - 1", cell_micro)),
+                )
+            ),
         )
         .select(
             *group_cols,
@@ -252,6 +286,27 @@ def footprint_union_area(
         )
     )
     cell_keys = [*group_cols, "cx", "cy"]
+    # FULL-COVER short circuit (r6): a cell fully covered by >= 1 box
+    # contributes exactly cell_micro^2 — no slab machinery. In a dense
+    # revisit stack almost every interior cell is fully covered by some
+    # box, so the quadratic (boxes_in_cell x slabs_in_cell) fold runs only
+    # on cells crossing the union's BOUNDARY: O(perimeter) cells instead
+    # of O(area). This also flips the cell-size economics the r5 study
+    # measured (small cells lost on slab-join volume): with the interior
+    # pruned, smaller cells make MORE cells interior — see the r6 study in
+    # OPTIMIZATION_r06.md for the re-measured optimum.
+    full_cover = (
+        (F.col("bxw") == F.col("cx") * c)
+        & (F.col("bxe") == (F.col("cx") + 1) * c)
+        & (F.col("bys") == F.col("cy") * c)
+        & (F.col("byn") == (F.col("cy") + 1) * c)
+    )
+    fulls = clipped.where(full_cover).select(*cell_keys).distinct()
+    area_full = fulls.groupBy(*group_cols).agg(
+        (F.count(F.lit(1)) * c * c).alias("_a")
+    )
+    partial = clipped.join(fulls, cell_keys, "left_anti")
+    clipped = partial
     events = (
         clipped.select(*cell_keys, F.col("bxw").alias("x"))
         .unionAll(clipped.select(*cell_keys, F.col("bxe").alias("x")))
@@ -285,6 +340,7 @@ def footprint_union_area(
             *group_cols,
             (F.col("_ylen") * (F.col("sx2") - F.col("sx1"))).alias("_a"),
         )
+        .unionAll(area_full.select(*group_cols, "_a"))
         .groupBy(*group_cols)
         .agg(F.sum("_a").alias("union_area"))
     )

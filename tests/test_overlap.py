@@ -221,6 +221,70 @@ def test_union_area_cell_size_invariant(spark):
     assert vals[0].union_area == area
 
 
+def test_union_area_negative_overhang_exact(spark):
+    """r6 regression: a footprint whose half-extent overhangs the domain
+    edge (fp_w < -180 => negative micro coords) must still be EXACT and
+    cell-size invariant. Spark's truncating ``div`` mis-celled negative
+    coordinates, losing cell-size-DEPENDENT slivers (measured at sf0.1:
+    three different union areas at cells 2600/650/325); cell assignment
+    now uses true floor division."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for _ in range(60):
+        # boxes straddling x=0 and y=0 (the -180 / -90 analogue at offset 0)
+        x1 = float(rng.randint(-500, 200))
+        y1 = float(rng.randint(-500, 200))
+        rows.append(("g", x1, y1, x1 + rng.randint(1, 400), y1 + rng.randint(1, 400)))
+    df = _ua_frame(spark, rows)
+    vals = [
+        footprint_union_area(
+            df, ["g"], scale=1, cell_micro=cm, lon_offset=0.0, lat_offset=0.0
+        ).collect()[0]
+        for cm in (64, 300, 7_000)
+    ]
+    assert len({(v.union_area, v.hull_area) for v in vals}) == 1
+    # paint oracle, shifted to positive indices for the canvas only
+    shifted = [(g, x1 + 500, y1 + 500, x2 + 500, y2 + 500) for g, x1, y1, x2, y2 in rows]
+    n, area = _paint_area(shifted, "g")
+    assert vals[0].union_area == area
+
+
+def test_iou_pairs_negative_coords_exact(spark):
+    """Same r6 floor-division regression for the IoU pair join: boxes with
+    negative micro coords must produce exactly the brute-force pair set,
+    once each (canonical-cell dedup must hold on negative cells too)."""
+    rng = np.random.RandomState(9)
+    boxes = []
+    for i in range(80):
+        x1 = int(rng.randint(-900, 300))
+        y1 = int(rng.randint(-900, 300))
+        boxes.append((f"b{i:03d}", x1, y1, x1 + int(rng.randint(1, 600)), y1 + int(rng.randint(1, 600))))
+    df = spark.createDataFrame(
+        [(i, float(x1), float(y1), float(x2), float(y2)) for i, x1, y1, x2, y2 in boxes],
+        "image_id string, fp_w double, fp_s double, fp_e double, fp_n double",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in footprint_iou_pairs(
+            df, min_iou_pct=30, scale=1, cell_micro=256,
+            lon_offset=0.0, lat_offset=0.0,
+        ).collect()
+    }
+    want = set()
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            a, b = boxes[i], boxes[j]
+            iw = min(a[3], b[3]) - max(a[1], b[1])
+            ih = min(a[4], b[4]) - max(a[2], b[2])
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            uni = (a[3] - a[1]) * (a[4] - a[2]) + (b[3] - b[1]) * (b[4] - b[2]) - inter
+            if inter * 100 >= 30 * uni:
+                want.add(tuple(sorted((a[0], b[0]))))
+    assert got == want
+
+
 def test_union_area_all_degenerate_group(spark):
     """A group whose boxes are all zero-area reports n_boxes=0 via absence;
     a group with no overlap at all sums box areas exactly."""
