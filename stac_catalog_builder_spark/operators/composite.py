@@ -441,6 +441,14 @@ def rasterize_polygons(
     poly_df = spark.createDataFrame(
         rows, "poly_idx int, label string, xw bigint, xe bigint, ys bigint, yn bigint"
     )
+    # The paint kernel costs ~1000x its input bytes per row, so AQE's
+    # byte-driven coalescing of a column repartition would collapse the
+    # narrow (poly, tile) work table to 1-2 partitions and serialize the
+    # kernel (measured r6: the sf0.1 entry paint ran ~2 tasks). Pin an
+    # explicit partition count — explicit N is exempt from AQE coalescing —
+    # at the session's shuffle setting (the cluster-tuned value at
+    # production scale, 2x cores locally).
+    n_paint = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if tiles is not None:
         # paint only where data lives: at a fine mask pitch a continental
         # polygon's full bbox cover is enormous, but the DATA's tile set is
@@ -457,6 +465,7 @@ def rasterize_polygons(
                 & (F.col("tile_y") <= F.expr(f"(yn - 1) div {span}")),
             )
             .select("poly_idx", "label", "tile_x", "tile_y")
+            .repartition(n_paint, "tile_x", "tile_y")
         )
     else:
         work = (
@@ -477,13 +486,52 @@ def rasterize_polygons(
                 ),
             )
             .select("poly_idx", "label", "tile_x", "tile_y")
-            .repartition("tile_x", "tile_y")
+            .repartition(n_paint, "tile_x", "tile_y")
         )
+
+    from .spatial_join import _segment_hits_rects
+
+    _full_raw = encode_raw(np.ones((T, T), dtype=np.uint8))
+
+    def _tile_fully_inside(tx: int, ty: int, vx: np.ndarray, vy: np.ndarray) -> bool:
+        """Interior-tile fast path (r6, same classification as the spatial
+        join's cover cells): if all 4 corners of the tile bbox are inside
+        the polygon and no polygon edge intersects the bbox, every cell
+        CENTER is inside — the mask is all-ones without 4096 ray casts.
+        Conservative: any edge touch falls back to the exact per-center
+        paint, so output bytes are identical either way."""
+        x0 = (span * tx) / 40000.0 - 180.0
+        x1 = (span * (tx + 1)) / 40000.0 - 180.0
+        y0 = (span * ty) / 40000.0 - 90.0
+        y1 = (span * (ty + 1)) / 40000.0 - 90.0
+        cx = np.array([x0, x1, x1, x0])
+        cy = np.array([y0, y0, y1, y1])
+        if not point_in_polygon_np(cx, cy, vx, vy).all():
+            return False
+        w = np.array([x0]); s = np.array([y0]); e = np.array([x1]); n = np.array([y1])
+        V = len(vx)
+        for i in range(V):
+            j = (i + 1) % V
+            if _segment_hits_rects(vx[i], vy[i], vx[j], vy[j], w, s, e, n)[0]:
+                return False
+        return True
 
     def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
+                vx, vy = verts[r.poly_idx]
+                if _tile_fully_inside(int(r.tile_x), int(r.tile_y), vx, vy):
+                    out.append(
+                        {
+                            "tile_x": int(r.tile_x),
+                            "tile_y": int(r.tile_y),
+                            "label": r.label,
+                            "n_inside_px": T * T,
+                            "mask": _full_raw,
+                        }
+                    )
+                    continue
                 # cell centers of this tile, in degrees (exact lattice math)
                 gx = r.tile_x * T + np.arange(T, dtype=np.int64)
                 gy = r.tile_y * T + np.arange(T, dtype=np.int64)
@@ -492,7 +540,6 @@ def rasterize_polygons(
                 lat = (C * gy[::-1] + C // 2) / 40000.0 - 90.0
                 lon2 = np.repeat(lon[None, :], T, axis=0).ravel()
                 lat2 = np.repeat(lat[:, None], T, axis=1).ravel()
-                vx, vy = verts[r.poly_idx]
                 inside = point_in_polygon_np(lon2, lat2, vx, vy).reshape(T, T)
                 n = int(inside.sum())
                 if n == 0:
