@@ -1213,20 +1213,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register -> merge -> estimate chain in DuckDB, value-exact except the two
     ln()-bearing columns at +/-1; tests/test_sketches.py proves merge ==
     direct and the accuracy bound vs exact COUNT DISTINCT): HyperLogLog
-    distinct-phash-per-collection — registers built per (collection, tile),
-    max-MERGED up to collection, then estimated. The sketch state is the
-    mergeable catalog statistic a 10^12-image table needs where an exact
-    distinct would shuffle every key (operators/sketches.py)."""
+    distinct-phash-per-collection. Registers are built directly at
+    collection granularity — max is associative, so this is byte-identical
+    to building per (collection, tile) and max-merging up (the two-level
+    rollup test_sketches.py pins and streaming/extents.py uses for
+    incremental maintenance), and map-side partial aggregation bounds the
+    shuffle to <= m rows per group per partition either way; the fused form
+    drops one exchange + one aggregate stage (r6: 2.85s -> 2.65s at sf0.1,
+    A/B interleaved, output assert_frame_equal-exact). The sketch state is
+    the mergeable catalog statistic a 10^12-image table needs where an
+    exact distinct would shuffle every key (operators/sketches.py)."""
     from stac_catalog_builder_spark.operators.sketches import (
         hll_estimate,
-        hll_merge,
         hll_registers,
     )
 
-    regs_fine = hll_registers(
-        _assigned(spark, sf_dir), ["collection_id", "tile_id"], "phash"
-    )
-    return hll_estimate(hll_merge(regs_fine, ["collection_id"]), ["collection_id"])
+    regs = hll_registers(_assigned(spark, sf_dir), ["collection_id"], "phash")
+    return hll_estimate(regs, ["collection_id"])
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
