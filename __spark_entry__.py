@@ -53,16 +53,44 @@ def _images_fp(spark: SparkSession, sf_dir: str, fan_out: bool = False) -> DataF
 
 
 def _boundary_polygons(spark: SparkSession, sf_dir: str) -> list[dict]:
-    rows = synth.boundaries(spark, sf_dir).collect()
+    """Driver-side boundary dimension: 25 rectangles, consumed by the
+    polygon-dim prep (numpy, driver-side) — so load it with a direct
+    pyarrow read of nation.parquet instead of a Spark collect. The collect
+    was one whole Spark job of pure overhead (~0.25-0.4s warm) paid by
+    EVERY query that goes through ``_assigned``; the pyarrow read is ~5ms.
+    Arithmetic replicates synth.boundaries bit-for-bit (same IEEE double
+    ops in the same order; tests/test_boundary_polygons.py pins equality
+    against the Spark-collect derivation, values and row order)."""
+    import pyarrow.parquet as pq
+
+    from stac_catalog_builder_spark.synth import (
+        GRID_DLAT,
+        GRID_DLON,
+        GRID_LAT0,
+        GRID_LON0,
+        GRID_NX,
+    )
+
+    tab = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
     polys = []
-    for r in rows:
-        rx, ry = rect_ring(r.bbox_w, r.bbox_s, r.bbox_e, r.bbox_n)
+    for nk, rk in zip(
+        tab.column("n_nationkey").to_pylist(), tab.column("n_regionkey").to_pylist()
+    ):
+        tx, ty = nk % GRID_NX, nk // GRID_NX
+        rx, ry = rect_ring(
+            GRID_LON0 + tx * GRID_DLON,
+            GRID_LAT0 + ty * GRID_DLAT,
+            GRID_LON0 + (tx + 1) * GRID_DLON,
+            GRID_LAT0 + (ty + 1) * GRID_DLAT,
+        )
         polys.append(
             {
                 "ring_x": rx,
                 "ring_y": ry,
-                "tile_id": r.tile_id,
-                "collection_id": r.collection_id,
+                "tile_id": f"E{tx}N{ty}",
+                "collection_id": f"coll_{rk}",
             }
         )
     return polys
@@ -70,6 +98,46 @@ def _boundary_polygons(spark: SparkSession, sf_dir: str) -> list[dict]:
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join_pip(_images_fp(spark, sf_dir), _boundary_polygons(spark, sf_dir))
+
+
+def _knn_query_points(sf_dir: str):
+    """kNN query dimension (25 rows) as a driver-side pandas frame. The knn
+    operators collect the query dimension anyway (broadcast-var contract),
+    so deriving it with a Spark plan spent one whole job (~0.25-0.4s warm)
+    per calling query; this replicates synth.knn_queries bit-for-bit from a
+    direct pyarrow read (tests/test_boundary_polygons.py pins values, order
+    and dtypes against the Spark derivation)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from stac_catalog_builder_spark.synth import (
+        A_LAT,
+        A_LON,
+        HOT_JITTER_SCALE,
+        HOT_JITTER_STEPS,
+        HOT_LAT0,
+        HOT_LON0,
+        LAT_STEPS,
+        LON_STEPS,
+        M32,
+        STEP_SCALE,
+    )
+
+    keys = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).column("n_nationkey").to_pylist()
+    qid, qlon, qlat = [], [], []
+    for n in keys:
+        qk = n + 101
+        h1, h2 = (qk * A_LON) % M32, (qk * A_LAT) % M32
+        if n % 5 == 0:
+            qlon.append(HOT_LON0 + (h1 % HOT_JITTER_STEPS) / HOT_JITTER_SCALE)
+            qlat.append(HOT_LAT0 + (h2 % HOT_JITTER_STEPS) / HOT_JITTER_SCALE)
+        else:
+            qlon.append(-180.0 + (h1 % LON_STEPS) / STEP_SCALE)
+            qlat.append(-60.0 + (h2 % LAT_STEPS) / STEP_SCALE)
+        qid.append(f"q_{n:04d}")
+    return pd.DataFrame({"query_id": qid, "qlon": qlon, "qlat": qlat})
 
 
 # --------------------------------------------------------------------------
@@ -157,7 +225,7 @@ def q_item_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = knn_join(_images_fp(spark, sf_dir), synth.knn_queries(spark, sf_dir), k=5)
+    out = knn_join(_images_fp(spark, sf_dir), _knn_query_points(sf_dir), k=5)
     return out.select("query_id", "rank", "image_id")
 
 
@@ -862,7 +930,7 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a per-call full scan."""
     out = knn_join_cellring(
         _images_fp(spark, sf_dir),
-        synth.knn_queries(spark, sf_dir),
+        _knn_query_points(sf_dir),
         k=5,
         res=8,
         ring_radius=None,
@@ -878,7 +946,7 @@ def q_knn_cellring_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-density corpora; the adaptive mode above is the default."""
     out = knn_join_cellring(
         _images_fp(spark, sf_dir),
-        synth.knn_queries(spark, sf_dir),
+        _knn_query_points(sf_dir),
         k=5,
         res=8,
         ring_radius=16,

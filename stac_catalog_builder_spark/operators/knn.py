@@ -93,13 +93,20 @@ def _partial_topk_gen(queries_pdf: pd.DataFrame, k: int):
     return gen
 
 
-def knn_join(images: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def knn_join(images: DataFrame, queries, k: int) -> DataFrame:
     """Exact kNN: (query_id, rank, image_id, dist_m), rank 1..k.
 
     ``queries`` needs (query_id, qlon, qlat) and must be dimension-sized —
     it is collected once and closed over (equivalent of a broadcast var).
+    A pandas DataFrame is accepted directly: the operator consumes the
+    dimension driver-side anyway, so a caller that already holds it (e.g.
+    from lake metadata or a driver-side read) skips one whole Spark job.
     """
-    queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
+    queries_pdf = (
+        queries.loc[:, ["query_id", "qlon", "qlat"]]
+        if isinstance(queries, pd.DataFrame)
+        else queries.select("query_id", "qlon", "qlat").toPandas()
+    )
     partials = images.select("image_id", "lon", "lat").mapInPandas(
         _partial_topk_gen(queries_pdf, k), schema=_OUT_SCHEMA
     )
@@ -175,7 +182,7 @@ def _adaptive_radii(
 
 def knn_join_cellring(
     images: DataFrame,
-    queries: DataFrame,
+    queries,
     k: int,
     res: int = 7,
     ring_radius: int | None = 16,
@@ -223,7 +230,13 @@ def knn_join_cellring(
     the exact fallback).
     """
     spark = images.sparkSession
-    queries_pdf = queries.select("query_id", "qlon", "qlat").toPandas()
+    # pandas accepted directly, same contract as knn_join: the dimension is
+    # consumed driver-side either way, a DataFrame just costs one more job
+    queries_pdf = (
+        queries.loc[:, ["query_id", "qlon", "qlat"]]
+        if isinstance(queries, pd.DataFrame)
+        else queries.select("query_id", "qlon", "qlat").toPandas()
+    )
     if queries_pdf.empty:
         # no queries: the brute-force path returns an empty result with the
         # right schema (the numpy bound math below needs >= 1 query row)
@@ -359,9 +372,11 @@ def knn_join_cellring(
         # lineage (measured ~0.6s per call at sf0.1 for one edge-unsafe
         # query). Column pruning drops the unused cell column, so the
         # encode UDF never runs on this path.
+        # the pending-query dimension is already collected (queries_pdf);
+        # filter it driver-side instead of semi-joining the caller's frame
         fallback = knn_join(
             fact.select("image_id", "lon", "lat"),
-            queries.join(F.broadcast(_id_frame(pending)), "query_id", "semi"),
+            queries_pdf[queries_pdf["query_id"].isin(set(pending))],
             k,
         )
         return done.unionByName(fallback) if done is not None else fallback
