@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from stac_catalog_builder_spark import oracles, synth
+from stac_catalog_builder_spark.session import read_parquet
 from stac_catalog_builder_spark.functions.cells import grid_cell_col
 from stac_catalog_builder_spark.functions.geo import rect_ring
 from stac_catalog_builder_spark.operators import dedup, sampling, similarity, textops
@@ -294,8 +295,8 @@ def q_href_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: interval join events x time slots (the reference's catalogue
     time-slot windows, terracatalog.py:432-453) — broadcast range join."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     slots = nation.select(
         F.col("n_nationkey").alias("slot_id"),
         F.date_add(F.to_date(F.lit("2024-01-01")), F.col("n_nationkey").cast("int"))
@@ -386,8 +387,8 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): orders with any heavy lineitem."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_quantity") > 45)
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where(F.col("l_quantity") > 45)
     out = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
     return out.select(
         "o_orderkey",
@@ -397,8 +398,8 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no URGENT order."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    urgent = read_parquet(spark, f"{sf_dir}/orders.parquet").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return cust.join(
@@ -412,7 +413,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE distributed plan (full-outer membership join + single aggregate,
     unpivoted with stack) instead of three driver-side .count() jobs — one
     scan pass per side rather than three each (VERDICT r2 cosmetic #6)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     a = orders.where(F.col("o_orderkey") % 3 == 0).select(F.col("o_custkey").alias("k")).distinct()
     b = orders.where(F.col("o_orderkey") % 5 == 0).select(F.col("o_custkey").alias("k")).distinct()
     m = a.withColumn("ia", F.lit(1)).join(
@@ -438,7 +439,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: events per hour-of-day x event_type (explicit value list ->
     no extra distinct pass at scale)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     piv = (
         ev.withColumn("hour_of_day", F.hour("ts"))
         .groupBy("hour_of_day")
@@ -466,7 +467,7 @@ def q_footprint_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (get_json_object) + aggregate over the parsed
     field — the engine's from_json/to_json surface."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
@@ -598,11 +599,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead across their many sequential jobs cost 2-4x more than the
     # serial first map stage saves (minhash_pairs 2.3s -> 5.9s interleaved
     # A/B). The images fan-out is different: one map-heavy pass, no cache.
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,7 +1040,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ASOF LEFT JOIN)."""
     from stac_catalog_builder_spark.operators.temporal import asof_join_backward
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -1091,7 +1092,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (new session iff the microsecond gap >= 30 min)."""
     from stac_catalog_builder_spark.streaming.events import session_rollup
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return session_rollup(ev)
 
 
@@ -1733,7 +1734,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stac_catalog_builder_spark.operators.temporal import gap_fill
 
     obs = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        read_parquet(spark, f"{sf_dir}/events.parquet")
         .select(
             "event_type",
             F.unix_timestamp("ts").alias("t_s"),

@@ -89,6 +89,29 @@ def get_spark(
     return spark
 
 
+def read_parquet(spark: SparkSession, path: str):
+    """``spark.read.parquet`` for a single parquet FILE, with the schema
+    pre-read from the file footer driver-side (pyarrow, ~1ms) instead of
+    Spark's 1-task schema-inference job (~0.05-0.15s + a driver gap, paid
+    once per read call — i.e. once per query per table at bench cadence,
+    and by far the dominant cost of creating a DataFrame on a degraded
+    host). Exactly inference-equivalent — no hardcoded schemas, the same
+    footer metadata read a different way: ``prefer_timestamp_ntz=True``
+    reproduces Spark's parquet mapping (isAdjustedToUTC=false -> NTZ);
+    tests/test_read_schema.py pins schema equality for every shipped table
+    at every SF tier. Directories still go through plain
+    ``spark.read.parquet`` (multi-file footer merge is Spark's job)."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        return spark.read.parquet(path)
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(pq.read_schema(path), prefer_timestamp_ntz=True)
+    return spark.read.schema(schema).parquet(path)
+
+
 def _parse_local_cores(master: str, default: int) -> int:
     inner = master[len("local[") : -1]
     if inner == "*":

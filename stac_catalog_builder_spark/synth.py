@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import read_parquet
+
 # --- shared constants (mirrored in oracles.py SQL and numpy fixtures) ---
 A_LON = 2654435761  # Knuth's multiplicative hash constant
 A_LAT = 2246822519  # xxhash prime 2
@@ -85,7 +87,7 @@ def images(
     Off by default so ``limit()``-based samplers keep their row selection;
     entry/bench call sites that are partition-invariant opt in.
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     if fan_out and replicate == 1:
         from .parallel import fan_out as _fan_out
 
@@ -174,7 +176,7 @@ def boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark analogue of the reference's item→collection association
     (builder.py:470-475). Tiny (25 rows): always broadcast.
     """
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     j = F.col("n_nationkey")
     tx = (j % GRID_NX).cast("int")
     ty = F.expr(f"n_nationkey div {GRID_NX}").cast("int")
@@ -197,7 +199,7 @@ def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A fifth of the points land inside the hot cluster (FIXTURES.md §4).
     """
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     qk = F.col("n_nationkey") + F.lit(101)
     h1, h2 = _h1(qk), _h2(qk)
     hot = (F.col("n_nationkey") % 5) == 0
