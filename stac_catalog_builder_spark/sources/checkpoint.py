@@ -45,6 +45,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
 _INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -72,15 +73,58 @@ def _dynamic_overwrite(
         spark.conf.set(_OVERWRITE_MODE_KEY, prev)
 
 
-def _read_keyed(spark: SparkSession, path: Path) -> DataFrame:
+def _read_keyed(
+    spark: SparkSession, path: Path, schema: T.StructType | None = None
+) -> DataFrame:
     """Read a part_key-partitioned table with type inference OFF, so the
-    partition key always comes back as the string written in the dir name."""
+    partition key always comes back as the string written in the dir name.
+
+    ``schema``: the known readback schema (data columns in file order, the
+    partition column LAST as string — what inference would produce). The
+    store wrote every table it reads back, so the schema is available
+    without Spark's 1-task footer-inference job per read; callers that
+    cannot know it (external tables) pass None and pay inference.
+    tests/test_checkpoint.py pins known-schema == inferred-schema reads."""
     prev = spark.conf.get(_INFER_KEY, "true")
     spark.conf.set(_INFER_KEY, "false")
     try:
+        if schema is not None:
+            return spark.read.schema(schema).parquet(str(path))
         return spark.read.parquet(str(path))
     finally:
         spark.conf.set(_INFER_KEY, prev)
+
+
+def _readback_schema(written: T.StructType, part_col: str) -> T.StructType:
+    """Schema a partitioned write reads back as: the written columns minus
+    the partition column (those live in file bodies, original order), then
+    the partition column appended as a nullable string (inference-off
+    directory-name identity). All fields nullable, matching parquet scan
+    inference."""
+    fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in written.fields
+        if f.name != part_col
+    ]
+    fields.append(T.StructField(part_col, T.StringType(), True))
+    return T.StructType(fields)
+
+
+# lineage rows are written as (part_key, stage) partitioned by part_key;
+# metrics rows as (part_key, n_rows, stage) partitioned by part_key
+_LINEAGE_READBACK = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), True),
+        T.StructField("part_key", T.StringType(), True),
+    ]
+)
+_METRICS_READBACK = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("stage", T.StringType(), True),
+        T.StructField("part_key", T.StringType(), True),
+    ]
+)
 
 
 def _has_parquet(p: Path) -> bool:
@@ -115,7 +159,7 @@ class SnapshotStore:
         p = self._lineage_path(stage)
         if not _has_parquet(p):
             return None
-        return _read_keyed(spark, p)
+        return _read_keyed(spark, p, _LINEAGE_READBACK)
 
     def _committed_keys(self, spark: SparkSession, stage: str) -> set[str]:
         done = self.completed_partitions(spark, stage)
@@ -155,7 +199,9 @@ class SnapshotStore:
         #    Hive escapes special characters (space, ':', '/', '%', '=') in
         #    paths, so a directory listing would never match lineage's raw
         #    values and such partitions would recommit forever.
-        readback = _read_keyed(spark, self._data_path(stage))
+        readback = _read_keyed(
+            spark, self._data_path(stage), _readback_schema(df.schema, part_col)
+        )
         counts = {
             r.part_key: r.n_rows
             for r in readback.groupBy(F.col(part_col).alias("part_key"))
@@ -218,7 +264,7 @@ class SnapshotStore:
         return _read_keyed(spark, self._data_path(stage))
 
     def metrics(self, spark: SparkSession, stage: str) -> DataFrame:
-        return _read_keyed(spark, self._metrics_path(stage))
+        return _read_keyed(spark, self._metrics_path(stage), _METRICS_READBACK)
 
     def snapshots(self, stage: str) -> list[dict]:
         p = self._snapshots_path(stage)

@@ -170,3 +170,43 @@ def test_rewriting_committed_partition_refreshes_metrics(spark, store):
     assert m2 == {"0": 20, "1": 5}, m2
     assert snap["partitions"] == []          # no NEW commits
     assert snap["refreshed"] == ["1"]        # the rewrite is recorded
+
+
+def test_known_readback_schemas_match_inference(spark, store):
+    # the store's known-schema reads (lineage, metrics, write-stage
+    # readback) must be exactly what inference-off spark.read.parquet
+    # would produce: names, order, types, partition col last as string
+    from stac_catalog_builder_spark.sources import checkpoint as cp
+
+    df = spark.range(50).select(
+        (F.col("id") % 3).cast("string").alias("part_key"),
+        F.col("id").alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    store.write_stage(df, "schem", "part_key")
+
+    prev = spark.conf.get(cp._INFER_KEY, "true")
+    spark.conf.set(cp._INFER_KEY, "false")
+    try:
+        inferred_lineage = spark.read.parquet(str(store._lineage_path("schem"))).schema
+        inferred_metrics = spark.read.parquet(str(store._metrics_path("schem"))).schema
+        inferred_data = spark.read.parquet(str(store._data_path("schem"))).schema
+    finally:
+        spark.conf.set(cp._INFER_KEY, prev)
+
+    assert cp._LINEAGE_READBACK == inferred_lineage
+    assert cp._METRICS_READBACK == inferred_metrics
+    assert cp._readback_schema(df.schema, "part_key") == inferred_data
+    # and the rows themselves round-trip identically through the known path
+    a = sorted(map(tuple, store.read_stage(spark, "schem").collect()))
+    b = sorted(
+        map(
+            tuple,
+            cp._read_keyed(
+                spark,
+                store._data_path("schem"),
+                cp._readback_schema(df.schema, "part_key"),
+            ).collect(),
+        )
+    )
+    assert a == b
