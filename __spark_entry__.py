@@ -514,7 +514,16 @@ def q_tags_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     override = F.create_map(
         F.lit("rev"), F.lit("v9"), F.lit("proc"), F.lit("l2a")
     )
-    merged = assets_ops.with_merged_tags(synth.images(spark, sf_dir), override)
+    # fan_out=True (measured, r6 follow-up): this is the one single-pass
+    # map-heavy JVM row where the key-column shuffle pays for itself — the
+    # tags map build+sanitize+merge+explode costs ~0.8s serial (interleaved
+    # A/B 1.03-1.22 -> 0.91-1.02s). The same A/B on bands_explode/
+    # fixity_audit/sequence_pack was a wash and tile_pyramid REGRESSED 2.3x
+    # (its rollup stages inherit the fanned partition count) — all left
+    # serial.
+    merged = assets_ops.with_merged_tags(
+        synth.images(spark, sf_dir, fan_out=True), override
+    )
     return merged.select("image_id", F.explode("tags")).select(
         "image_id",
         F.col("key").alias("tag_key"),
